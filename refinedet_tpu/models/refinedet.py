@@ -1,0 +1,178 @@
+"""RefineDet model (Flax, NHWC, TPU-first).
+
+Re-design of the reference network (``/root/reference/models/refinedet.py``,
+plus the BN variant ``refinedet_bn.py``) as a single Flax module:
+
+  * VGG-16 trunk with ceil-mode pool3, 2x2-s2 pool5, dilated 3x3 conv6
+    (dilation 3, 1024 ch) and 1x1 conv7 (refinedet.py:173-193);
+  * L2Norm taps after conv4_3 (scale 10) and conv5_3 (scale 8)
+    (refinedet.py:41-42, 85-92);
+  * extras: 1x1 1024->256 then 3x3-s2 256->512 (refinedet.py:196-210);
+  * ARM heads on the four backbone sources, ODM heads on the four 256-ch
+    TCB outputs, 3 anchors/cell (refinedet.py:212-238);
+  * TCB top-down fusion: per level conv-relu-conv, + deconv(2x2, s2) of the
+    deeper level, then relu-conv-relu (refinedet.py:240-255, forward
+    :114-129).
+
+Everything is NHWC so convolutions tile directly onto the MXU; head outputs
+flatten in (h, w, anchor) order, matching the reference's NCHW->NHWC permute
+before flattening (refinedet.py:107-110), so checkpoints and priors align
+1:1. The module is phase-free and returns raw head tensors; softmax/detection
+live in refinedet_tpu.detect (build_refinedet wires them together).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from refinedet_tpu.models.layers import L2Norm, max_pool_2x2
+
+# VGG-16 (conv layers only) — (name, out_channels); "M"/"C" are pools.
+VGG_CFG = (
+    ("conv1_1", 64), ("conv1_2", 64), "M",
+    ("conv2_1", 128), ("conv2_2", 128), "M",
+    ("conv3_1", 256), ("conv3_2", 256), ("conv3_3", 256), "C",
+    ("conv4_1", 512), ("conv4_2", 512), ("conv4_3", 512), "M",
+    ("conv5_1", 512), ("conv5_2", 512), ("conv5_3", 512),
+)
+
+# Channels of the four ARM source feature maps (conv4_3, conv5_3, fc7, extra).
+SOURCE_CHANNELS = (512, 512, 1024, 512)
+TCB_CHANNELS = 256
+ANCHORS_PER_CELL = 3
+
+_he = nn.initializers.he_normal()
+_xavier = nn.initializers.xavier_uniform()
+
+
+class RefineDet(nn.Module):
+    """RefineDet320/512 backbone + ARM/ODM heads + TCB fusion.
+
+    Call returns (arm_loc [B,P,4], arm_conf [B,P,2], odm_loc [B,P,4],
+    odm_conf [B,P,num_classes]) as raw logits in float32.
+    """
+
+    size: int = 320
+    num_classes: int = 21
+    use_bn: bool = False
+    dtype: Any = jnp.float32
+
+    def _conv(self, features, kernel, name, *, strides=1, padding=0,
+              dilation=1, init=_he):
+        return nn.Conv(
+            features=features,
+            kernel_size=(kernel, kernel),
+            strides=(strides, strides),
+            padding=padding,
+            kernel_dilation=(dilation, dilation),
+            kernel_init=init,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name=name,
+        )
+
+    def _maybe_bn(self, x, name, train):
+        if not self.use_bn:
+            return x
+        return nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, param_dtype=jnp.float32, name=name)(x)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False):
+        x = x.astype(self.dtype)
+        sources = []
+
+        # --- VGG trunk ---
+        for item in VGG_CFG:
+            if item == "M":
+                x = max_pool_2x2(x)
+            elif item == "C":
+                x = max_pool_2x2(x, ceil_mode=True)
+            else:
+                name, ch = item
+                x = self._conv(ch, 3, f"vgg_{name}", padding=1)(x)
+                x = self._maybe_bn(x, f"vgg_{name}_bn", train)
+                x = nn.relu(x)
+                if name == "conv4_3":
+                    sources.append(
+                        L2Norm(512, 10.0, dtype=self.dtype,
+                               name="conv4_3_L2Norm")(x))
+                elif name == "conv5_3":
+                    sources.append(
+                        L2Norm(512, 8.0, dtype=self.dtype,
+                               name="conv5_3_L2Norm")(x))
+        x = max_pool_2x2(x)  # pool5
+        x = self._conv(1024, 3, "vgg_conv6", padding=3, dilation=3)(x)
+        x = self._maybe_bn(x, "vgg_conv6_bn", train)
+        x = nn.relu(x)
+        x = self._conv(1024, 1, "vgg_conv7")(x)
+        x = self._maybe_bn(x, "vgg_conv7_bn", train)
+        x = nn.relu(x)
+        sources.append(x)
+
+        # --- extras ---
+        x = self._conv(256, 1, "extra_conv1", init=_xavier)(x)
+        x = self._maybe_bn(x, "extra_conv1_bn", train)
+        x = nn.relu(x)
+        x = self._conv(512, 3, "extra_conv2", strides=2, padding=1,
+                       init=_xavier)(x)
+        x = self._maybe_bn(x, "extra_conv2_bn", train)
+        x = nn.relu(x)
+        sources.append(x)
+
+        # --- ARM heads over backbone sources ---
+        arm_loc, arm_conf = [], []
+        for i, s in enumerate(sources):
+            loc = self._conv(ANCHORS_PER_CELL * 4, 3, f"arm_loc{i}",
+                             padding=1, init=_xavier)(s)
+            conf = self._conv(ANCHORS_PER_CELL * 2, 3, f"arm_conf{i}",
+                              padding=1, init=_xavier)(s)
+            arm_loc.append(loc.reshape(loc.shape[0], -1, 4))
+            arm_conf.append(conf.reshape(conf.shape[0], -1, 2))
+
+        # --- TCB top-down fusion ---
+        num_levels = len(sources)
+        tcb_feats = [None] * num_levels
+        p = None
+        for si in reversed(range(num_levels)):
+            s = self._conv(TCB_CHANNELS, 3, f"tcb0_{si}_conv1", padding=1,
+                           init=_xavier)(sources[si])
+            s = nn.relu(s)
+            s = self._conv(TCB_CHANNELS, 3, f"tcb0_{si}_conv2", padding=1,
+                           init=_xavier)(s)
+            if si != num_levels - 1:
+                up = nn.ConvTranspose(
+                    features=TCB_CHANNELS, kernel_size=(2, 2),
+                    strides=(2, 2), padding="VALID", kernel_init=_xavier,
+                    bias_init=nn.initializers.zeros, dtype=self.dtype,
+                    param_dtype=jnp.float32, name=f"tcb1_{si}_deconv")(p)
+                s = s + up
+            s = nn.relu(s)
+            s = self._conv(TCB_CHANNELS, 3, f"tcb2_{si}_conv", padding=1,
+                           init=_xavier)(s)
+            s = nn.relu(s)
+            p = s
+            tcb_feats[si] = s
+
+        # --- ODM heads over TCB outputs ---
+        odm_loc, odm_conf = [], []
+        for i, s in enumerate(tcb_feats):
+            loc = self._conv(ANCHORS_PER_CELL * 4, 3, f"odm_loc{i}",
+                             padding=1, init=_xavier)(s)
+            conf = self._conv(ANCHORS_PER_CELL * self.num_classes, 3,
+                              f"odm_conf{i}", padding=1, init=_xavier)(s)
+            odm_loc.append(loc.reshape(loc.shape[0], -1, 4))
+            odm_conf.append(conf.reshape(conf.shape[0], -1, self.num_classes))
+
+        cat = lambda xs: jnp.concatenate(xs, axis=1).astype(jnp.float32)
+        return (cat(arm_loc), cat(arm_conf), cat(odm_loc), cat(odm_conf))
+
+
+def expected_num_priors(size: int) -> int:
+    fm = {320: (40, 20, 10, 5), 512: (64, 32, 16, 8)}[size]
+    return ANCHORS_PER_CELL * sum(f * f for f in fm)

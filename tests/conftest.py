@@ -1,0 +1,42 @@
+"""Test harness: force JAX onto a virtual 8-device CPU platform.
+
+This is the TPU-native substitute for multi-device testing without a cluster
+(see SURVEY.md §4): sharding/pjit tests run against
+``--xla_force_host_platform_device_count=8``.
+
+The environment's axon sitecustomize registers the TPU-tunnel PJRT plugin at
+interpreter startup (before conftest) and pins the backend, so setting
+JAX_PLATFORMS here is too late — we re-exec pytest once with the plugin's
+trigger env var cleared to get a genuine multi-device CPU platform.
+"""
+
+import os
+import sys
+
+if os.environ.get("PALLAS_AXON_POOL_IPS"):
+    import subprocess
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+    raise SystemExit(subprocess.run(
+        [sys.executable, "-m", "pytest"] + sys.argv[1:], env=env).returncode)
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)

@@ -1,0 +1,71 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from refinedet_tpu.models import build_refinedet, expected_num_priors
+from refinedet_tpu.models.refinedet import RefineDet
+
+
+@pytest.fixture(scope="module")
+def tiny320():
+    model = build_refinedet("train", 320, 21)
+    params = model.init(jax.random.PRNGKey(0))
+    return model, params
+
+
+def test_head_shapes_320(tiny320):
+    model, params = tiny320
+    x = jnp.zeros((2, 320, 320, 3))
+    arm_loc, arm_conf, odm_loc, odm_conf, priors = model.apply(params, x)
+    p = expected_num_priors(320)
+    assert p == 6375
+    assert arm_loc.shape == (2, p, 4)
+    assert arm_conf.shape == (2, p, 2)
+    assert odm_loc.shape == (2, p, 4)
+    assert odm_conf.shape == (2, p, 21)
+    assert priors.shape == (p, 4)
+
+
+def test_source_resolutions_match_priors(tiny320):
+    # The concatenated head length must equal the anchor-grid size for each
+    # level: 3 * (40^2 + 20^2 + 10^2 + 5^2).
+    assert expected_num_priors(320) == 3 * (1600 + 400 + 100 + 25)
+    assert expected_num_priors(512) == 16320
+
+
+def test_test_phase_returns_boxes_scores(tiny320):
+    _, params = tiny320
+    model = build_refinedet("test", 320, 21)
+    x = jnp.zeros((1, 320, 320, 3))
+    boxes, scores = model.apply(params, x)
+    assert boxes.shape == (1, 6375, 4)
+    assert scores.shape == (1, 6375, 21)
+    # scores are softmax probabilities (or zeroed by objectness filter).
+    s = np.asarray(scores)
+    assert s.min() >= 0.0 and s.max() <= 1.0
+
+
+def test_bn_variant_has_batch_stats():
+    model = build_refinedet("train", 320, 2, use_bn=True)
+    variables = model.init(jax.random.PRNGKey(0))
+    assert "batch_stats" in variables
+    x = jnp.zeros((1, 320, 320, 3))
+    out, mutated = model.raw_forward(variables, x, train=True,
+                                    mutable=["batch_stats"])
+    assert out[0].shape == (1, 6375, 4)
+    assert "batch_stats" in mutated
+
+
+def test_param_count_reasonable(tiny320):
+    _, params = tiny320
+    n = sum(np.prod(p.shape) for p in jax.tree.leaves(params))
+    # Reference RefineDet320-VOC is ~34M params.
+    assert 30e6 < n < 40e6, n
+
+
+def test_forward_is_jittable(tiny320):
+    model, params = tiny320
+    fn = jax.jit(lambda v, x: model.apply(v, x))
+    out = fn(params, jnp.zeros((1, 320, 320, 3)))
+    assert out[0].shape == (1, 6375, 4)
