@@ -29,6 +29,15 @@ def encode(matched: jnp.ndarray, priors: jnp.ndarray,
     return jnp.concatenate([g_cxcy, g_wh], axis=-1)
 
 
+# Cap on the wh exponent in decode. The reference's torch decode
+# (box_utils.py:200-205) is unclamped and overflows to inf for degenerate
+# predictions (|loc*variance| > ~88 in f32), which poisons downstream
+# matching with inf-inf = NaN during early training. exp(30) ~ 1e13 is far
+# beyond any physical box, so clamping there is behavior-preserving for any
+# non-degenerate input while keeping gradients finite.
+DECODE_MAX_EXP = 30.0
+
+
 def decode(loc: jnp.ndarray, priors: jnp.ndarray,
            variances: Sequence[float]) -> jnp.ndarray:
     """Decode loc predictions [...,4] against center-size priors [...,4].
@@ -36,7 +45,9 @@ def decode(loc: jnp.ndarray, priors: jnp.ndarray,
     Returns point-form boxes [..., 4]. Matches box_utils.py:187-205.
     """
     cxcy = priors[..., :2] + loc[..., :2] * variances[0] * priors[..., 2:]
-    wh = priors[..., 2:] * jnp.exp(loc[..., 2:] * variances[1])
+    wh_exp = jnp.clip(loc[..., 2:] * variances[1],
+                      -DECODE_MAX_EXP, DECODE_MAX_EXP)
+    wh = priors[..., 2:] * jnp.exp(wh_exp)
     mins = cxcy - wh / 2
     maxs = mins + wh
     return jnp.concatenate([mins, maxs], axis=-1)

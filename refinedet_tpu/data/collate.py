@@ -1,0 +1,47 @@
+"""Batch assembly with static-shape target padding.
+
+Counterpart of the reference's ``detection_collate``
+(``/root/reference/data/__init__.py:9-27``), redesigned for TPU: instead of a
+Python list of ragged target tensors (which would force per-image host
+loops), targets are padded to a fixed ``max_boxes`` with a validity mask, so
+the whole batch is one pytree of fixed-shape arrays that feeds straight into
+the jitted train step (matching/loss consume the mask, see boxes/matcher.py).
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Sequence, Tuple
+
+import numpy as np
+
+
+class Batch(NamedTuple):
+    images: np.ndarray   # [B, H, W, 3] float32
+    boxes: np.ndarray    # [B, M, 4] float32, normalized point-form
+    labels: np.ndarray   # [B, M] int32, 1-based foreground (0 pad)
+    valid: np.ndarray    # [B, M] bool
+
+
+def pad_targets(boxes: np.ndarray, labels: np.ndarray,
+                max_boxes: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Pad one image's targets to [max_boxes]; overflow is truncated."""
+    n = min(len(boxes), max_boxes)
+    b = np.zeros((max_boxes, 4), np.float32)
+    l = np.zeros((max_boxes,), np.int32)
+    v = np.zeros((max_boxes,), bool)
+    b[:n] = boxes[:n]
+    l[:n] = labels[:n]
+    v[:n] = True
+    return b, l, v
+
+
+def detection_collate(samples: Sequence[Tuple[np.ndarray, np.ndarray,
+                                              np.ndarray]],
+                      max_boxes: int = 60) -> Batch:
+    """Stack (image, boxes, labels) samples into one fixed-shape Batch."""
+    images = np.stack([s[0] for s in samples]).astype(np.float32)
+    bs, ls, vs = [], [], []
+    for _, boxes, labels in samples:
+        b, l, v = pad_targets(boxes, labels, max_boxes)
+        bs.append(b); ls.append(l); vs.append(v)
+    return Batch(images, np.stack(bs), np.stack(ls), np.stack(vs))

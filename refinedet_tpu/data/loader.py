@@ -1,0 +1,90 @@
+"""Prefetching input pipeline feeding the TPU.
+
+Counterpart of the reference's host-side parallelism
+(``torch.utils.data.DataLoader(num_workers=8, pin_memory=True)``,
+``/root/reference/train_refinedet.py:211-214``): a thread-pool of workers
+runs the numpy/cv2 augmentation per sample (cv2 releases the GIL in its hot
+loops), batches are assembled with static-shape padding, and a bounded
+prefetch queue keeps ``prefetch`` batches in flight so host preprocessing
+overlaps device step time. ``device_put_sharded`` lands each batch directly
+in device memory with the train step's sharding (double-buffering on TPU).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Iterator, Optional, Sequence
+
+import numpy as np
+
+from refinedet_tpu.data.collate import Batch, detection_collate
+
+
+class DataLoader:
+    """Shuffling, prefetching batch loader over a map-style dataset.
+
+    dataset[i] must return (image, boxes, labels). Epoch order is
+    deterministic given (seed, epoch). Drops the last partial batch
+    (static shapes; mirrors steady-state training).
+    """
+
+    def __init__(self, dataset, batch_size: int, max_boxes: int = 60,
+                 num_workers: int = 8, shuffle: bool = True, seed: int = 0,
+                 prefetch: int = 2, drop_last: bool = True,
+                 device_put: Optional[Callable[[Batch], Batch]] = None):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.max_boxes = max_boxes
+        self.num_workers = max(1, num_workers)
+        self.shuffle = shuffle
+        self.seed = seed
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+        self.device_put = device_put
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _epoch_indices(self) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng(
+                np.random.SeedSequence([self.seed, self.epoch])).shuffle(idx)
+        return idx
+
+    def __iter__(self) -> Iterator[Batch]:
+        indices = self._epoch_indices()
+        n_batches = len(self)
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for b in range(n_batches):
+                    if stop.is_set():
+                        return
+                    batch_idx = indices[b * self.batch_size:
+                                        (b + 1) * self.batch_size]
+                    samples = list(pool.map(self.dataset.__getitem__,
+                                            batch_idx))
+                    batch = detection_collate(samples, self.max_boxes)
+                    if self.device_put is not None:
+                        batch = self.device_put(batch)
+                    out_q.put(batch)
+            out_q.put(None)
+
+        worker = threading.Thread(target=produce, daemon=True)
+        worker.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            stop.set()
+        self.epoch += 1

@@ -74,6 +74,18 @@ def _mined_confidence_loss(conf_data, conf_t, pos, negpos_ratio):
     return loss_c, num_pos
 
 
+def _masked_smooth_l1_sum(loc_data, loc_t, pos):
+    """sum over positives of smooth_l1(loc_data - loc_t).
+
+    The residual is zeroed *before* the nonlinearity (double-where): masked
+    loc_t entries can be non-finite (e.g. encode against degenerate
+    ARM-decoded anchors) and a NaN inside smooth_l1's VJP would poison the
+    gradient even though the forward value is masked out.
+    """
+    diff = jnp.where(pos[..., None], loc_data - loc_t, 0.0)
+    return jnp.sum(jnp.where(pos[..., None], smooth_l1(diff), 0.0))
+
+
 def _finalize(loss_l, loss_c, num_pos):
     n = jnp.sum(num_pos).astype(jnp.float32)
     safe_n = jnp.maximum(n, 1.0)
@@ -130,8 +142,7 @@ def refinedet_multibox_loss(
                                  axis=2)[:, :, 1]
         pos = jnp.logical_and(pos, arm_obj > theta)
 
-    loss_l = jnp.sum(jnp.where(pos[..., None],
-                               smooth_l1(loc_data - loc_t), 0.0))
+    loss_l = _masked_smooth_l1_sum(loc_data, loc_t, pos)
     loss_c, num_pos = _mined_confidence_loss(conf_data, conf_t, pos,
                                              negpos_ratio)
     return _finalize(loss_l, loss_c, num_pos)
@@ -160,8 +171,7 @@ def multibox_loss(
     conf_t = jax.lax.stop_gradient(conf_t)
 
     pos = conf_t > 0
-    loss_l = jnp.sum(jnp.where(pos[..., None],
-                               smooth_l1(loc_data - loc_t), 0.0))
+    loss_l = _masked_smooth_l1_sum(loc_data, loc_t, pos)
     loss_c, num_pos = _mined_confidence_loss(conf_data, conf_t, pos,
                                              negpos_ratio)
     return _finalize(loss_l, loss_c, num_pos)

@@ -119,7 +119,6 @@ def soft_nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thresh: float = 0.3,
         # Greedy: current max among remaining (soft-NMS reorders; with
         # sorted input and monotone decay, index order approximates it).
         row = iou[i]
-        others = col != i
         if method == "linear":
             decay = jnp.where(row > iou_thresh, 1.0 - row, 1.0)
         elif method == "gaussian":
@@ -127,7 +126,8 @@ def soft_nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thresh: float = 0.3,
         else:  # hard
             decay = jnp.where(row > iou_thresh, 0.0, 1.0)
         i_alive = live_scores[i] > score_thresh
-        factor = jnp.where(jnp.logical_and(others, i_alive), decay, 1.0)
+        later = col > i  # only not-yet-processed boxes decay
+        factor = jnp.where(jnp.logical_and(later, i_alive), decay, 1.0)
         return live_scores * factor
 
     final = jax.lax.fori_loop(0, k, body, top_scores)

@@ -1,0 +1,122 @@
+"""High-level training driver.
+
+Counterpart of the reference's ``train()``
+(``/root/reference/train_refinedet.py:101-277``): epoch loop over the
+prefetching loader, warmup+step LR, per-iteration loss logging in the
+reference's log line format, periodic epoch checkpoints (every 10, every 5
+after epoch 200), and resume. The per-step work is one jitted SPMD program
+(train/train_step.py); the host only shuttles batches and logs.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+import time
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from refinedet_tpu.config import TrainConfig
+from refinedet_tpu.data.loader import DataLoader
+from refinedet_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from refinedet_tpu.train.checkpoints import CheckpointManager
+from refinedet_tpu.train.schedule import make_lr_schedule
+from refinedet_tpu.train.train_step import (TrainState, create_train_state,
+                                            make_optimizer, make_train_step)
+
+
+class Trainer:
+    def __init__(self, model, dataset, train_cfg: TrainConfig,
+                 save_folder: Optional[str] = None,
+                 dataset_name: str = "COCO",
+                 num_devices: Optional[int] = None,
+                 log_fn: Callable[[str], None] = print,
+                 log_every: int = 1):
+        self.model = model
+        self.cfg = train_cfg
+        self.dataset = dataset
+        self.log = log_fn
+        self.log_every = log_every
+
+        self.mesh = make_mesh(num_devices)
+        ndev = self.mesh.devices.size
+        if train_cfg.batch_size % ndev:
+            raise ValueError(
+                f"batch_size {train_cfg.batch_size} not divisible by "
+                f"{ndev} devices")
+
+        self.epoch_size = math.ceil(len(dataset) / train_cfg.batch_size)
+        self.max_iter = train_cfg.max_epoch * self.epoch_size
+        self.lr_schedule = make_lr_schedule(
+            train_cfg.lr, train_cfg.gamma, self.epoch_size,
+            train_cfg.max_epoch, train_cfg.warmup_epochs,
+            train_cfg.warmup_init_lr)
+        self.tx = make_optimizer(self.lr_schedule, train_cfg.momentum,
+                                 train_cfg.weight_decay)
+        self.train_step = make_train_step(model, self.tx, train_cfg,
+                                          self.mesh)
+        self.loader = DataLoader(
+            dataset, train_cfg.batch_size, max_boxes=train_cfg.max_boxes,
+            num_workers=train_cfg.num_workers, shuffle=True,
+            seed=train_cfg.seed)
+        self.ckpt = (CheckpointManager(
+            save_folder, f"RefineDet{model.size}_{dataset_name}")
+            if save_folder else None)
+
+    def init_state(self) -> TrainState:
+        state = create_train_state(
+            self.model, jax.random.PRNGKey(self.cfg.seed), self.tx)
+        return replicate(self.mesh, state)
+
+    def resume(self, epoch: int) -> TrainState:
+        template = create_train_state(
+            self.model, jax.random.PRNGKey(self.cfg.seed), self.tx)
+        state = self.ckpt.restore(epoch, jax.tree.map(np.asarray, template))
+        return replicate(self.mesh, state)
+
+    def _maybe_checkpoint(self, state, epoch: int):
+        if self.ckpt is None or epoch <= 0:
+            return
+        # Reference cadence: every 10 epochs, every 5 after 200
+        # (train_refinedet.py:227-229).
+        if epoch % 10 == 0 or (epoch > 200 and epoch % 5 == 0):
+            self.ckpt.save(state, epoch)
+
+    def train(self, state: Optional[TrainState] = None,
+              start_epoch: int = 0,
+              max_epochs: Optional[int] = None) -> TrainState:
+        state = state if state is not None else self.init_state()
+        end_epoch = min(self.cfg.max_epoch,
+                        (start_epoch + max_epochs) if max_epochs
+                        else self.cfg.max_epoch)
+        iteration = start_epoch * self.epoch_size
+        for epoch in range(start_epoch + 1, end_epoch + 1):
+            self._maybe_checkpoint(state, epoch - 1)
+            for batch in self.loader:
+                t0 = time.time()
+                sb = shard_batch(self.mesh, batch)
+                state, metrics = self.train_step(
+                    state, sb.images, sb.boxes, sb.labels, sb.valid)
+                iteration += 1
+                if iteration % self.log_every == 0:
+                    metrics = jax.device_get(metrics)
+                    lr = float(self.lr_schedule(iteration - 1))
+                    bt = time.time() - t0
+                    eta = int(bt * (self.max_iter - iteration))
+                    self.log(
+                        f"Epoch:{epoch}/{self.cfg.max_epoch} || "
+                        f"Epochiter: {((iteration - 1) % self.epoch_size) + 1}"
+                        f"/{self.epoch_size} || Iter: {iteration}"
+                        f"/{self.max_iter} || "
+                        f"ARM_L Loss: {metrics['arm_loss_l']:.4f} "
+                        f"ARM_C Loss: {metrics['arm_loss_c']:.4f} "
+                        f"ODM_L Loss: {metrics['odm_loss_l']:.4f} "
+                        f"ODM_C Loss: {metrics['odm_loss_c']:.4f} "
+                        f"loss: {metrics['loss']:.4f} || "
+                        f"LR: {lr:.8f} || Batchtime: {bt:.4f} s || "
+                        f"ETA: {datetime.timedelta(seconds=eta)}")
+        if self.ckpt is not None:
+            self.ckpt.save(state, "final")
+        return state

@@ -1,0 +1,128 @@
+import numpy as np
+import pytest
+
+from refinedet_tpu.data import (BaseTransform, COCODetection, DataLoader,
+                                SSDAugmentation, detection_collate)
+from data_fixtures import make_coco_dataset
+
+
+@pytest.fixture(scope="module")
+def coco_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("ssdd"))
+    make_coco_dataset(root, num_images=6)
+    make_coco_dataset(root, split="test", num_images=4, seed=1)
+    return root
+
+
+def test_coco_dataset_targets(coco_root):
+    ds = COCODetection(coco_root, [("sarship", "train")], None)
+    assert len(ds) == 6
+    img, boxes, labels = ds[0]
+    assert img.shape == (96, 96, 3)
+    assert boxes.shape[1] == 4 and len(boxes) == len(labels)
+    assert (labels >= 1).all()  # 1-based foreground labels
+    # absolute pixel coords within image bounds
+    assert boxes.min() >= 0 and boxes.max() <= 95
+
+
+def test_augmentation_deterministic(coco_root):
+    ds = COCODetection(coco_root, [("sarship", "train")], None)
+    img, boxes, labels = ds[1]
+    aug = SSDAugmentation(size=64, mean=(98.1, 98.1, 98.1))
+    rng1 = np.random.default_rng(42)
+    rng2 = np.random.default_rng(42)
+    out1 = aug(img, boxes, labels, rng1)
+    out2 = aug(img, boxes, labels, rng2)
+    np.testing.assert_array_equal(out1[0], out2[0])
+    np.testing.assert_array_equal(out1[1], out2[1])
+
+
+def test_augmentation_output_contract(coco_root):
+    ds = COCODetection(coco_root, [("sarship", "train")], None)
+    aug = SSDAugmentation(size=64, mean=(98.1, 98.1, 98.1))
+    for i in range(len(ds)):
+        img, boxes, labels = ds[i]
+        for seed in range(5):
+            rng = np.random.default_rng(seed)
+            aimg, aboxes, alabels = aug(img, boxes, labels, rng)
+            assert aimg.shape == (64, 64, 3)
+            assert aimg.dtype == np.float32
+            assert len(aboxes) == len(alabels) >= 1
+            # normalized point-form, well-ordered boxes
+            assert aboxes.min() >= -1e-5 and aboxes.max() <= 1 + 1e-5
+            assert (aboxes[:, 2:] >= aboxes[:, :2] - 1e-6).all()
+
+
+def test_base_transform_shape(coco_root):
+    ds = COCODetection(coco_root, [("sarship", "train")], None)
+    img, _ = ds.pull_image(0)
+    out = BaseTransform(320, (98.1, 98.1, 98.1))(img)
+    assert out.shape == (320, 320, 3)
+    assert out.dtype == np.float32
+
+
+def test_collate_pads_and_masks(coco_root):
+    ds = COCODetection(coco_root, [("sarship", "train")], None)
+    aug = SSDAugmentation(size=64, mean=(98.1,) * 3)
+    samples = []
+    for i in range(3):
+        img, boxes, labels = ds[i]
+        samples.append(aug(img, boxes, labels, np.random.default_rng(i)))
+    batch = detection_collate(samples, max_boxes=10)
+    assert batch.images.shape == (3, 64, 64, 3)
+    assert batch.boxes.shape == (3, 10, 4)
+    assert batch.labels.shape == (3, 10)
+    for i, (_, boxes, _) in enumerate(samples):
+        assert batch.valid[i].sum() == min(len(boxes), 10)
+        assert (batch.labels[i][~batch.valid[i]] == 0).all()
+
+
+def test_loader_epoch(coco_root):
+    ds = COCODetection(
+        coco_root, [("sarship", "train")],
+        SSDAugmentation(size=64, mean=(98.1,) * 3))
+    loader = DataLoader(ds, batch_size=2, max_boxes=8, num_workers=2,
+                        seed=3)
+    batches = list(loader)
+    assert len(batches) == 3
+    for b in batches:
+        assert b.images.shape == (2, 64, 64, 3)
+        assert b.valid.any()
+
+
+def test_loader_shuffles_across_epochs(coco_root):
+    ds = COCODetection(coco_root, [("sarship", "train")], None)
+    loader = DataLoader(ds, batch_size=2, num_workers=1, seed=5)
+    e0 = loader._epoch_indices().tolist()
+    loader.epoch = 1
+    e1 = loader._epoch_indices().tolist()
+    assert sorted(e0) == sorted(e1)
+    assert e0 != e1
+
+
+def test_evaluate_detections_perfect_score(coco_root):
+    ds = COCODetection(coco_root, [("sarship", "test")], None)
+    # Feed ground truth back as detections: AP must be 1.0.
+    all_boxes = [[[] for _ in range(len(ds))] for _ in range(2)]
+    for i in range(len(ds)):
+        _, target = ds.pull_image(i)
+        dets = np.hstack([target[:, :4],
+                          np.full((len(target), 1), 0.9, np.float32)])
+        all_boxes[1][i] = dets
+    stats = ds.evaluate_detections(all_boxes, None)
+    assert stats[0] > 0.99   # AP
+    assert stats[1] > 0.99   # AP50
+
+
+def test_evaluate_detections_misses_lower_ap(coco_root):
+    ds = COCODetection(coco_root, [("sarship", "test")], None)
+    all_boxes = [[[] for _ in range(len(ds))] for _ in range(2)]
+    for i in range(len(ds)):
+        _, target = ds.pull_image(i)
+        dets = np.hstack([target[:1, :4],
+                          np.full((1, 1), 0.9, np.float32)])
+        all_boxes[1][i] = dets  # only first GT detected per image
+    stats = ds.evaluate_detections(all_boxes, None)
+    n_gt = sum(len(ds.annotations[i]) for i in range(len(ds)))
+    expected_recall = len(ds) / n_gt
+    assert stats[1] == pytest.approx(expected_recall, abs=0.05)
