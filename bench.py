@@ -1,0 +1,124 @@
+"""Benchmark: RefineDet320 inference throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+value    = batched test-phase inference throughput (backbone + heads +
+           softmax + objectness filter + cascade decode, the reference's
+           live Detect_RefineDet path) on the real chip.
+vs_baseline = value / PyTorch-CPU throughput of the architecturally
+           identical torch model (tools/torch_refinedet.py), the baseline
+           BASELINE.json's ">=10x PyTorch-CPU" target refers to. The torch
+           number is measured here too (cached in .bench_torch_cpu.json).
+
+Extra diagnostics (batch-1 p50 latency, per-batch breakdown) go to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BATCH = 16
+WARMUP = 3
+ITERS = 20
+TORCH_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           ".bench_torch_cpu.json")
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def measure_jax():
+    import jax
+    import jax.numpy as jnp
+    from refinedet_tpu.models import build_refinedet
+
+    log(f"devices: {jax.devices()}")
+    model = build_refinedet("test", 320, 21, dtype=jnp.bfloat16)
+    params = model.init(jax.random.PRNGKey(0))
+    fn = jax.jit(model.apply)
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(
+        rng.uniform(-120, 130, (BATCH, 320, 320, 3)).astype(np.float32))
+
+    t0 = time.time()
+    out = fn(params, images)
+    jax.block_until_ready(out)
+    log(f"compile+first batch: {time.time() - t0:.1f}s")
+
+    for _ in range(WARMUP):
+        jax.block_until_ready(fn(params, images))
+    t0 = time.time()
+    for _ in range(ITERS):
+        out = fn(params, images)
+    jax.block_until_ready(out)
+    dt = time.time() - t0
+    throughput = BATCH * ITERS / dt
+    log(f"batched throughput: {throughput:.1f} img/s "
+        f"({dt / ITERS * 1000:.2f} ms / batch of {BATCH})")
+
+    # batch-1 p50 latency
+    one = images[:1]
+    lat_fn = jax.jit(model.apply)
+    jax.block_until_ready(lat_fn(params, one))
+    lats = []
+    for _ in range(30):
+        t0 = time.time()
+        jax.block_until_ready(lat_fn(params, one))
+        lats.append(time.time() - t0)
+    log(f"batch-1 p50 latency: {np.median(lats) * 1000:.2f} ms")
+    return throughput
+
+
+def measure_torch_cpu():
+    if os.path.exists(TORCH_CACHE):
+        with open(TORCH_CACHE) as f:
+            cached = json.load(f)
+        log(f"torch-cpu baseline (cached): {cached['img_per_sec']:.2f} img/s")
+        return cached["img_per_sec"]
+
+    import torch
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from torch_refinedet import TorchRefineDet
+
+    torch.set_num_threads(os.cpu_count() or 8)
+    model = TorchRefineDet(320, 21).eval()
+    x = torch.randn(1, 3, 320, 320)
+    with torch.no_grad():
+        model(x)  # warmup
+        n = 8
+        t0 = time.time()
+        for _ in range(n):
+            model(x)
+        dt = time.time() - t0
+    ips = n / dt
+    log(f"torch-cpu baseline: {ips:.2f} img/s ({dt / n * 1000:.1f} ms/img)")
+    with open(TORCH_CACHE, "w") as f:
+        json.dump({"img_per_sec": ips}, f)
+    return ips
+
+
+def main():
+    jax_ips = measure_jax()
+    try:
+        torch_ips = measure_torch_cpu()
+    except Exception as e:  # torch baseline failure must not kill the bench
+        log(f"torch baseline failed: {e}")
+        torch_ips = None
+    vs = (jax_ips / torch_ips) if torch_ips else None
+    print(json.dumps({
+        "metric": "refinedet320_inference_throughput",
+        "value": round(jax_ips, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(vs, 2) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()
