@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""COCO/SSDD evaluation driver (CLI parity with the reference's
+``eval_refinedet_coco.py``).
+
+Checkpoint sweep over trained epochs -> batched jitted inference + fused
+on-device per-class NMS -> numpy COCOeval stats -> ap_stats.json +
+best-epoch report + FPS/p50 (reference flow SURVEY.md §3.2).
+
+Accepts both this framework's Orbax checkpoints and reference-format torch
+``.pth`` files (imported via models/torch_import.py).
+"""
+
+import argparse
+import os
+import os.path as osp
+
+import numpy as np
+
+from refinedet_tpu import config as C
+from refinedet_tpu.config import DetectConfig
+from refinedet_tpu.data import BaseTransform, COCODetection
+from refinedet_tpu.eval import Evaluator
+from refinedet_tpu.models import build_refinedet
+from refinedet_tpu.utils.plot import plot_map
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="RefineDet COCO/SSDD eval")
+    p.add_argument("--input_size", default="512", choices=["320", "512"])
+    p.add_argument("--dataset_root", default=None)
+    p.add_argument("--image_set", default="test",
+                   help="test / test_inshore / test_offshore")
+    p.add_argument("--trained_model", default=None,
+                   help="single checkpoint to evaluate")
+    p.add_argument("--prefix", default="weights/",
+                   help="checkpoint dir for --sweep")
+    p.add_argument("--sweep", action="store_true",
+                   help="evaluate the reference epoch schedule 200..295+final")
+    p.add_argument("--save_folder", default="eval/")
+    p.add_argument("--batch_size", default=8, type=int)
+    p.add_argument("--top_k", default=1000, type=int)
+    p.add_argument("--keep_top_k", default=500, type=int)
+    p.add_argument("--nms_top_k", default=300, type=int,
+                   help="static per-class NMS candidate cap on device")
+    p.add_argument("--confidence_threshold", default=0.01, type=float)
+    p.add_argument("--nms_threshold", default=0.49, type=float)
+    p.add_argument("--objectness_thre", default=0.01, type=float)
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"])
+    return p.parse_args()
+
+
+def make_loader(model, trainer_template=None):
+    """Returns load_fn(path) -> flax variables, handling .pth and Orbax."""
+    import jax
+
+    def load(path):
+        init = model.init(jax.random.PRNGKey(0))
+        if str(path).endswith((".pth", ".pkl")):
+            from refinedet_tpu.models.torch_import import load_weights
+            params = load_weights(dict(init["params"]), str(path))
+            return {"params": params}
+        import orbax.checkpoint as ocp
+        import numpy as np_
+        template = jax.tree.map(np_.asarray, init)
+        restored = ocp.StandardCheckpointer().restore(
+            osp.abspath(path), template)
+        return restored
+
+    return load
+
+
+def main():
+    args = parse_args()
+    size = int(args.input_size)
+    root = args.dataset_root or C.COCOroot
+    dataset = COCODetection(root, [("sarship", args.image_set)], None)
+    num_classes = dataset.num_classes
+
+    import jax.numpy as jnp
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    model = build_refinedet("test", size, num_classes, dtype=dtype)
+    cfg = DetectConfig(
+        num_classes=num_classes, top_k=args.top_k,
+        keep_top_k=args.keep_top_k, conf_thresh=args.confidence_threshold,
+        nms_thresh=args.nms_threshold,
+        objectness_thresh=args.objectness_thre)
+    evaluator = Evaluator(model, dataset, cfg,
+                          BaseTransform(size, C.MEANS),
+                          batch_size=args.batch_size,
+                          nms_top_k=args.nms_top_k,
+                          max_per_image=args.keep_top_k)
+    load_fn = make_loader(model)
+    save_folder = osp.join(args.save_folder,
+                           osp.basename(args.prefix.rstrip("/")))
+
+    if args.sweep:
+        # Reference epoch schedule (eval_refinedet_coco.py:328-336).
+        epochs = list(range(200, 300, 5))
+        ckpts = [osp.join(args.prefix,
+                          f"RefineDet{size}_COCO_epoches_{e}")
+                 for e in epochs]
+        ckpts.append(osp.join(args.prefix,
+                              f"RefineDet{size}_COCO_epoches_final"))
+        epochs.append(300)
+        pairs = [(c, e) for c, e in zip(ckpts, epochs)
+                 if osp.exists(c) or osp.exists(c + ".pth")]
+        ckpts = [c if osp.exists(c) else c + ".pth" for c, _ in pairs]
+        epochs = [e for _, e in pairs]
+        stats = evaluator.sweep(ckpts, load_fn, epochs, save_folder)
+        if stats["epoch"]:
+            plot_map(osp.join(save_folder, "ap_stats.json"),
+                     osp.join(save_folder, "ap_curve.png"))
+    else:
+        assert args.trained_model, "--trained_model or --sweep required"
+        variables = load_fn(args.trained_model)
+        print("Finished loading model!")
+        all_boxes = evaluator.run(variables)
+        print("Evaluating detections")
+        stats = dataset.evaluate_detections(all_boxes, save_folder)
+        print("AP stats:", np.round(stats[:6], 4))
+
+
+if __name__ == "__main__":
+    main()

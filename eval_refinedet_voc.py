@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""VOC2007-test evaluation driver (CLI parity with the reference's
+``eval_refinedet_voc.py``).
+
+Batched jitted inference + on-device per-class NMS over VOC2007 test, the
+official per-class result files, and 11-point (or AUC) AP via
+refinedet_tpu.eval.voc_eval (reference flow SURVEY.md §3.4 — note the
+reference file as committed crashes on the raw-output detector; this driver
+is the working equivalent of its intended path).
+"""
+
+import argparse
+import os.path as osp
+
+import numpy as np
+
+from refinedet_tpu import config as C
+from refinedet_tpu.config import DetectConfig
+from refinedet_tpu.data import BaseTransform, VOC_CLASSES, VOCDetection
+from refinedet_tpu.eval import Evaluator, evaluate_voc, write_voc_results_files
+from refinedet_tpu.models import build_refinedet
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="RefineDet VOC eval")
+    p.add_argument("--input_size", default="320", choices=["320", "512"])
+    p.add_argument("--trained_model", required=True)
+    p.add_argument("--voc_root", default=None)
+    p.add_argument("--year", default="2007")
+    p.add_argument("--image_set", default="test")
+    p.add_argument("--save_folder", default="eval/")
+    p.add_argument("--batch_size", default=8, type=int)
+    p.add_argument("--confidence_threshold", default=0.01, type=float)
+    p.add_argument("--nms_threshold", default=0.45, type=float)
+    p.add_argument("--objectness_thre", default=0.01, type=float)
+    p.add_argument("--top_k", default=1000, type=int)
+    p.add_argument("--nms_top_k", default=300, type=int)
+    p.add_argument("--use_07_metric", default=True, type=bool)
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"])
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    size = int(args.input_size)
+    root = args.voc_root or C.VOC_ROOT
+    dataset = VOCDetection(root, [(args.year, args.image_set)], None)
+    num_classes = len(VOC_CLASSES) + 1
+
+    import jax.numpy as jnp
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    model = build_refinedet("test", size, num_classes, dtype=dtype)
+    cfg = DetectConfig(
+        num_classes=num_classes, top_k=args.top_k, keep_top_k=args.top_k,
+        conf_thresh=args.confidence_threshold,
+        nms_thresh=args.nms_threshold,
+        objectness_thresh=args.objectness_thre)
+    evaluator = Evaluator(model, dataset, cfg,
+                          BaseTransform(size, C.VOC_MEANS),
+                          batch_size=args.batch_size,
+                          nms_top_k=args.nms_top_k)
+
+    from eval_refinedet_coco import make_loader
+    variables = make_loader(model)(args.trained_model)
+    print("Finished loading model!")
+    all_boxes = evaluator.run(variables)
+
+    out_dir = osp.join(args.save_folder, f"voc{args.year}")
+    write_voc_results_files(
+        all_boxes, [i[1] for i in dataset.ids], VOC_CLASSES, out_dir)
+    aps = evaluate_voc(all_boxes, dataset, VOC_CLASSES,
+                       use_07_metric=args.use_07_metric)
+    print(f"mAP: {aps['mAP']:.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -120,3 +120,21 @@ class VOCDetection:
         # [x1, y1, x2, y2, 0-based-label] rows for the evaluator.
         rows = [[*t[:4], int(t[4]) - 1] for t in target]
         return img_id, rows
+
+    def pull_anno_full(self, index: int):
+        """All objects incl. difficult: (img_id, boxes [N,4],
+        labels0 [N] 0-based, difficult [N] bool). For AP evaluation."""
+        _, ann_path = self._paths(index)
+        img_id = self.ids[index][1]
+        boxes, labels, difficult = [], [], []
+        for obj in ET.parse(ann_path).getroot().iter("object"):
+            name = obj.find("name").text.lower().strip()
+            bb = obj.find("bndbox")
+            boxes.append([int(float(bb.find(k).text)) - 1
+                          for k in ("xmin", "ymin", "xmax", "ymax")])
+            labels.append(self.target_transform.class_to_ind[name])
+            d = obj.find("difficult")
+            difficult.append(bool(int(d.text)) if d is not None else False)
+        return (img_id, np.asarray(boxes, float).reshape(-1, 4),
+                np.asarray(labels, np.int32),
+                np.asarray(difficult, bool))

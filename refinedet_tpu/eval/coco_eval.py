@@ -16,7 +16,8 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from refinedet_tpu.data.coco_io import COCO
+# NOTE: the gt/dt containers are duck-typed refinedet_tpu.data.coco_io.COCO
+# objects; importing them here would create a cycle (data -> eval -> data).
 
 
 def box_iou_xywh(dets: np.ndarray, gts: np.ndarray,
@@ -65,7 +66,7 @@ class COCOeval:
       e.summarize(); e.stats
     """
 
-    def __init__(self, cocoGt: COCO, cocoDt: COCO, iouType: str = "bbox"):
+    def __init__(self, cocoGt, cocoDt, iouType: str = "bbox"):
         assert iouType == "bbox", "only bbox evaluation is implemented"
         self.cocoGt = cocoGt
         self.cocoDt = cocoDt

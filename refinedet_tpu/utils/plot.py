@@ -1,0 +1,91 @@
+"""Training-curve plotting utilities.
+
+Counterpart of ``/root/reference/plot_curve.py:8-68``: parse the train
+driver's log.txt lines into loss curves, and plot the checkpoint-sweep AP
+stats (ap_stats.json). matplotlib is optional — parsing works headless and
+plotting degrades to a no-op with a warning if it is missing.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+_LOG_RE = re.compile(
+    r"Iter: (\d+)/\d+ \|\| ARM_L Loss: ([\d.nan]+) ARM_C Loss: ([\d.nan]+) "
+    r"ODM_L Loss: ([\d.nan]+) ODM_C Loss: ([\d.nan]+) loss: ([\d.nan]+) "
+    r"\|\| LR: ([\d.e+-]+)")
+
+
+def parse_log(path: str) -> Dict[str, np.ndarray]:
+    """Extract per-iteration loss/LR series from a train log."""
+    series: Dict[str, List[float]] = {
+        "iter": [], "arm_loss_l": [], "arm_loss_c": [], "odm_loss_l": [],
+        "odm_loss_c": [], "loss": [], "lr": []}
+    with open(path) as f:
+        for line in f:
+            m = _LOG_RE.search(line)
+            if not m:
+                continue
+            vals = m.groups()
+            series["iter"].append(int(vals[0]))
+            for key, v in zip(("arm_loss_l", "arm_loss_c", "odm_loss_l",
+                               "odm_loss_c", "loss", "lr"), vals[1:]):
+                series[key].append(float(v))
+    return {k: np.asarray(v) for k, v in series.items()}
+
+
+def _get_plt():
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        return plt
+    except ImportError:
+        print("matplotlib unavailable; skipping plot")
+        return None
+
+
+def plot_loss(log_path: str, out_path: str = "loss_curve.png",
+              smooth: int = 1) -> Optional[str]:
+    """Loss curves from log.txt (plot_curve.py:8-41)."""
+    plt = _get_plt()
+    if plt is None:
+        return None
+    s = parse_log(log_path)
+    fig, ax = plt.subplots(figsize=(10, 6))
+    for key in ("arm_loss_l", "arm_loss_c", "odm_loss_l", "odm_loss_c",
+                "loss"):
+        y = s[key]
+        if smooth > 1 and len(y) >= smooth:
+            y = np.convolve(y, np.ones(smooth) / smooth, mode="valid")
+        ax.plot(s["iter"][:len(y)], y, label=key)
+    ax.set_xlabel("iteration")
+    ax.set_ylabel("loss")
+    ax.legend()
+    fig.savefig(out_path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return out_path
+
+
+def plot_map(ap_stats_path: str, out_path: str = "ap_curve.png",
+             keys: Sequence[str] = ("ap", "ap50", "ap75")) -> Optional[str]:
+    """Epoch-vs-AP curves from ap_stats.json (plot_curve.py:44-68)."""
+    plt = _get_plt()
+    if plt is None:
+        return None
+    with open(ap_stats_path) as f:
+        stats = json.load(f)
+    fig, ax = plt.subplots(figsize=(10, 6))
+    for key in keys:
+        if stats.get(key):
+            ax.plot(stats["epoch"], stats[key], marker="o", label=key)
+    ax.set_xlabel("epoch")
+    ax.set_ylabel("AP")
+    ax.legend()
+    fig.savefig(out_path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return out_path

@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""RefineDet training driver (CLI parity with the reference's
+``train_refinedet.py``).
+
+Flow (reference call stack SURVEY.md §3.1, re-done TPU-first): dataset +
+SSDAugmentation -> build_refinedet -> optional pretrained-VGG import ->
+data-parallel mesh over all local devices -> jitted SPMD train step with
+warmup+step LR, SGD momentum + weight decay -> Orbax checkpoints every
+10 epochs (5 after 200) -> log.txt-compatible logging.
+"""
+
+import argparse
+import os
+
+from refinedet_tpu import config as C
+from refinedet_tpu.config import TrainConfig
+from refinedet_tpu.data import COCODetection, SSDAugmentation, VOCDetection
+from refinedet_tpu.models import build_refinedet
+from refinedet_tpu.train import Trainer
+from refinedet_tpu.utils import logger as log_util
+
+
+def parse_args():
+    p = argparse.ArgumentParser(
+        description="RefineDet training (TPU-native JAX)")
+    p.add_argument("--dataset", default="COCO", choices=["VOC", "COCO"])
+    p.add_argument("--input_size", default="512", choices=["320", "512"])
+    p.add_argument("--dataset_root", default=None,
+                   help="VOCdevkit or SSDD_coco root")
+    p.add_argument("--basenet", default=None,
+                   help="pretrained VGG .pth (vgg16_reducedfc)")
+    p.add_argument("--batch_size", default=32, type=int)
+    p.add_argument("--resume", default=None,
+                   help="checkpoint path or epoch number to resume from")
+    p.add_argument("--resume_epoch", default=0, type=int)
+    p.add_argument("--num_workers", default=8, type=int)
+    p.add_argument("--lr", "--learning-rate", default=1e-3, type=float)
+    p.add_argument("--momentum", default=0.9, type=float)
+    p.add_argument("--weight_decay", default=5e-4, type=float)
+    p.add_argument("--gamma", default=0.1, type=float)
+    p.add_argument("--max_epoch", default=300, type=int)
+    p.add_argument("--ngpu", default=None, type=int,
+                   help="number of devices (default: all local)")
+    p.add_argument("--save_folder", default="weights/")
+    p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--bn", action="store_true",
+                   help="use the BatchNorm model variant")
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"],
+                   help="compute dtype for conv stacks")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    os.makedirs(args.save_folder, exist_ok=True)
+    log_util.install(os.path.join(args.save_folder, "log.txt"))
+
+    size = int(args.input_size)
+    if args.dataset == "VOC":
+        root = args.dataset_root or C.VOC_ROOT
+        dataset = VOCDetection(
+            root, transform=SSDAugmentation(size, C.VOC_MEANS))
+        num_classes = 21
+    else:
+        root = args.dataset_root or C.COCOroot
+        dataset = COCODetection(
+            root, [("sarship", "train")],
+            SSDAugmentation(size, C.MEANS), seed=args.seed)
+        num_classes = dataset.num_classes
+
+    import jax.numpy as jnp
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    model = build_refinedet("train", size, num_classes, use_bn=args.bn,
+                            dtype=dtype)
+    cfg = TrainConfig(
+        batch_size=args.batch_size, lr=args.lr, momentum=args.momentum,
+        weight_decay=args.weight_decay, gamma=args.gamma,
+        max_epoch=args.max_epoch, num_workers=args.num_workers,
+        seed=args.seed)
+    trainer = Trainer(model, dataset, cfg, save_folder=args.save_folder,
+                      dataset_name=args.dataset, num_devices=args.ngpu)
+
+    start_epoch = 0
+    state = None
+    if args.resume_epoch > 0:
+        state = trainer.resume(args.resume_epoch)
+        start_epoch = args.resume_epoch
+        print(f"resumed from epoch {start_epoch}")
+    elif args.resume:
+        import jax
+        import numpy as np
+        template = jax.tree.map(np.asarray, trainer.init_state())
+        state = trainer.ckpt.restore_path(args.resume, template)
+        start_epoch = int(np.asarray(state.step)) // trainer.epoch_size
+        print(f"resumed from {args.resume} (epoch {start_epoch})")
+    elif args.basenet:
+        from refinedet_tpu.models.torch_import import load_weights
+        state = trainer.init_state()
+        params = load_weights(dict(state.params), args.basenet)
+        state = state.replace(params=type(state.params)(params)
+                              if not isinstance(state.params, dict)
+                              else params)
+        print(f"loaded pretrained backbone from {args.basenet}")
+
+    print("Loading the dataset...")
+    print(f"Training RefineDet{size} on {dataset.name} "
+          f"({len(dataset)} images, {trainer.mesh.devices.size} devices)")
+    trainer.train(state, start_epoch=start_epoch)
+
+
+if __name__ == "__main__":
+    main()
