@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from refinedet_tpu.boxes.codec import decode
 from refinedet_tpu.boxes.geometry import center_size
 from refinedet_tpu.config import DetectConfig
-from refinedet_tpu.ops.nms import nms
+from refinedet_tpu.ops.dispatch import class_parallel_nms
 
 
 def cascade_decode(arm_loc: jnp.ndarray, odm_loc: jnp.ndarray,
@@ -84,23 +84,14 @@ def detect_refinedet_nms(arm_loc, arm_conf, odm_loc, odm_conf, priors,
     b, p, c = scores.shape
     k = min(cfg.top_k, p)
 
-    def per_class(boxes_i, scores_ic):
-        res = nms(boxes_i, scores_ic, cfg.nms_thresh, top_k=k,
-                  score_thresh=cfg.conf_thresh, plus_one=False)
-        kept_scores = jnp.where(res.keep, res.scores, 0.0)
-        kept_boxes = jnp.where(res.keep[:, None], boxes_i[res.indices], 0.0)
-        # Compact survivors to the front (stable partition by keep flag),
-        # mirroring output[i, cl, :count] in the reference.
-        order = jnp.argsort(~res.keep, stable=True)
-        return jnp.concatenate(
-            [kept_scores[order][:, None], kept_boxes[order]], axis=1)
-
-    def per_image(boxes_i, scores_i):
-        cls = jax.vmap(lambda s: per_class(boxes_i, s))(scores_i.T[1:])
-        background = jnp.zeros((1, k, 5), cls.dtype)
-        return jnp.concatenate([background, cls], axis=0)
-
-    out = jax.vmap(per_image)(boxes, scores)  # [B, C, K, 5]
+    # [B, C-1, P] class scores against shared per-image boxes.
+    cls_scores = jnp.moveaxis(scores[..., 1:], -1, 1)
+    bx, sc = class_parallel_nms(
+        boxes[:, None], cls_scores, cfg.nms_thresh, top_k=k,
+        score_thresh=cfg.conf_thresh, plus_one=False)
+    cls_out = jnp.concatenate([sc[..., None], bx], axis=-1)  # [B,C-1,K,5]
+    background = jnp.zeros((b, 1, k, 5), cls_out.dtype)
+    out = jnp.concatenate([background, cls_out], axis=1)  # [B, C, K, 5]
 
     if apply_keep_top_k and cfg.keep_top_k < c * k:
         flat = out.reshape(b, -1, 5)
@@ -118,21 +109,13 @@ def detect_ssd(loc, conf, priors, cfg: DetectConfig) -> jnp.ndarray:
     boxes = decode(loc, priors, cfg.variance)
     k = min(cfg.top_k, loc.shape[1])
 
-    def per_class(boxes_i, scores_ic):
-        res = nms(boxes_i, scores_ic, cfg.nms_thresh, top_k=k,
-                  score_thresh=cfg.conf_thresh, plus_one=False)
-        kept_scores = jnp.where(res.keep, res.scores, 0.0)
-        kept_boxes = jnp.where(res.keep[:, None], boxes_i[res.indices], 0.0)
-        order = jnp.argsort(~res.keep, stable=True)
-        return jnp.concatenate(
-            [kept_scores[order][:, None], kept_boxes[order]], axis=1)
-
-    def per_image(boxes_i, conf_i):
-        cls = jax.vmap(lambda s: per_class(boxes_i, s))(conf_i.T[1:])
-        background = jnp.zeros((1, k, 5), cls.dtype)
-        return jnp.concatenate([background, cls], axis=0)
-
-    return jax.vmap(per_image)(boxes, conf)
+    cls_scores = jnp.moveaxis(conf[..., 1:], -1, 1)  # [B, C-1, P]
+    bx, sc = class_parallel_nms(
+        boxes[:, None], cls_scores, cfg.nms_thresh, top_k=k,
+        score_thresh=cfg.conf_thresh, plus_one=False)
+    cls_out = jnp.concatenate([sc[..., None], bx], axis=-1)
+    background = jnp.zeros((b, 1, k, 5), cls_out.dtype)
+    return jnp.concatenate([background, cls_out], axis=1)
 
 
 class Detect_RefineDet:

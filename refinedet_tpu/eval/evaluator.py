@@ -29,7 +29,7 @@ import numpy as np
 
 from refinedet_tpu.config import DetectConfig
 from refinedet_tpu.detect.detection import detect_refinedet
-from refinedet_tpu.ops.nms import nms
+from refinedet_tpu.ops.dispatch import class_parallel_nms
 
 
 class Evaluator:
@@ -62,21 +62,12 @@ class Evaluator:
             variances=self.cfg.variance,
             objectness_thresh=self.cfg.objectness_thresh)
         boxes = boxes * scales[:, None, :]
-        k = self.nms_top_k
-
-        def per_class(boxes_i, scores_ic):
-            res = nms(boxes_i, scores_ic, self.cfg.nms_thresh, top_k=k,
-                      score_thresh=self.cfg.conf_thresh,
-                      plus_one=self.plus_one)
-            order = jnp.argsort(~res.keep, stable=True)
-            sc = jnp.where(res.keep, res.scores, 0.0)[order]
-            bx = jnp.where(res.keep[:, None], boxes_i[res.indices], 0.0)[order]
-            return jnp.concatenate([bx, sc[:, None]], axis=1)
-
-        def per_image(boxes_i, scores_i):
-            return jax.vmap(lambda s: per_class(boxes_i, s))(scores_i.T[1:])
-
-        return jax.vmap(per_image)(boxes, scores)
+        cls_scores = jnp.moveaxis(scores[..., 1:], -1, 1)  # [B, C-1, P]
+        bx, sc = class_parallel_nms(
+            boxes[:, None], cls_scores, self.cfg.nms_thresh,
+            top_k=self.nms_top_k, score_thresh=self.cfg.conf_thresh,
+            plus_one=self.plus_one)
+        return jnp.concatenate([bx, sc[..., None]], axis=-1)
 
     def run(self, variables) -> List[List[np.ndarray]]:
         """Returns all_boxes[class][image] = [N, 5] (x1,y1,x2,y2,score)."""
