@@ -166,6 +166,9 @@ class TrainConfig:
     overlap_thresh: float = 0.5
     theta: float = 0.01  # ARM objectness filter for ODM positives
     max_boxes: int = 60  # static per-image GT padding
+    grad_clip_norm: float = 0.0  # 0 = off (reference has no clipping)
+    on_device_augment: bool = False  # fuse SSD augmentation into the step
+    mean: Tuple[float, float, float] = (104.0, 117.0, 123.0)
     num_workers: int = 8
     seed: int = 0
     dtype: str = "float32"  # compute dtype for the model ("bfloat16" on TPU)

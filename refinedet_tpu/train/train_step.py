@@ -34,14 +34,25 @@ class TrainState(struct.PyTreeNode):
 
 
 def make_optimizer(lr_schedule, momentum: float = 0.9,
-                   weight_decay: float = 5e-4) -> optax.GradientTransformation:
+                   weight_decay: float = 5e-4,
+                   grad_clip_norm: float = 0.0
+                   ) -> optax.GradientTransformation:
     """torch-SGD-equivalent: grad += wd * param; buf = m*buf + grad;
-    param -= lr * buf."""
-    return optax.chain(
+    param -= lr * buf.
+
+    ``grad_clip_norm`` > 0 prepends global-norm clipping — not in the
+    reference (which relies on pretrained-VGG warm starts for stability),
+    but necessary for from-scratch runs at reference learning rates.
+    """
+    steps = []
+    if grad_clip_norm and grad_clip_norm > 0:
+        steps.append(optax.clip_by_global_norm(grad_clip_norm))
+    steps += [
         optax.add_decayed_weights(weight_decay),
         optax.trace(decay=momentum, nesterov=False),
         optax.scale_by_learning_rate(lr_schedule),
-    )
+    ]
+    return optax.chain(*steps)
 
 
 def create_train_state(model, rng, tx: optax.GradientTransformation,
@@ -55,17 +66,28 @@ def create_train_state(model, rng, tx: optax.GradientTransformation,
 
 def make_train_step(model, tx: optax.GradientTransformation,
                     train_cfg: TrainConfig,
-                    mesh=None) -> Callable:
+                    mesh=None,
+                    on_device_augment: bool = False,
+                    augment_mean=None) -> Callable:
     """Build the jitted step: (state, images, boxes, labels, valid) ->
     (state, metrics).
 
     ``model`` is a RefineDetModel (models/builder.py); its AnchorConfig
     supplies priors/variances/num_classes. With ``mesh`` given, inputs are
     constrained to batch sharding and state to replication.
+
+    With ``on_device_augment=True`` the SSD augmentation chain
+    (data/augment_jax.py) runs inside the same jit, fused ahead of the
+    forward pass: inputs are then host-staged raw-scale images + absolute
+    staging-pixel boxes, and the per-step PRNG key is derived from
+    (seed, state.step) so the step stays a pure function of its inputs.
     """
     cfg: AnchorConfig = model.cfg
     priors = model.priors
     use_bn = model.use_bn
+    mean = tuple(augment_mean) if augment_mean is not None else (
+        104.0, 117.0, 123.0)
+    base_key = jax.random.PRNGKey(train_cfg.seed)
 
     def loss_fn(params, batch_stats, images, boxes, labels, valid):
         variables = {"params": params}
@@ -97,6 +119,11 @@ def make_train_step(model, tx: optax.GradientTransformation,
         return loss, (metrics, new_stats)
 
     def step(state: TrainState, images, boxes, labels, valid):
+        if on_device_augment:
+            from refinedet_tpu.data.augment_jax import augment_batch
+            key = jax.random.fold_in(base_key, state.step)
+            images, boxes, valid = augment_batch(
+                images, boxes, valid, key, out_size=model.size, mean=mean)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (metrics, new_stats)), grads = grad_fn(
             state.params, state.batch_stats, images, boxes, labels, valid)

@@ -54,9 +54,12 @@ class Trainer:
             train_cfg.max_epoch, train_cfg.warmup_epochs,
             train_cfg.warmup_init_lr)
         self.tx = make_optimizer(self.lr_schedule, train_cfg.momentum,
-                                 train_cfg.weight_decay)
-        self.train_step = make_train_step(model, self.tx, train_cfg,
-                                          self.mesh)
+                                 train_cfg.weight_decay,
+                                 train_cfg.grad_clip_norm)
+        self.train_step = make_train_step(
+            model, self.tx, train_cfg, self.mesh,
+            on_device_augment=train_cfg.on_device_augment,
+            augment_mean=train_cfg.mean)
         self.loader = DataLoader(
             dataset, train_cfg.batch_size, max_boxes=train_cfg.max_boxes,
             num_workers=train_cfg.num_workers, shuffle=True,

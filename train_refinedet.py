@@ -48,6 +48,10 @@ def parse_args():
     p.add_argument("--dtype", default="bfloat16",
                    choices=["float32", "bfloat16"],
                    help="compute dtype for conv stacks")
+    p.add_argument("--on_device_augment", action="store_true",
+                   help="run the SSD augmentation chain on the TPU, fused "
+                        "into the train step (host only stages images)")
+    p.add_argument("--grad_clip", default=0.0, type=float)
     return p.parse_args()
 
 
@@ -57,16 +61,20 @@ def main():
     log_util.install(os.path.join(args.save_folder, "log.txt"))
 
     size = int(args.input_size)
+    means = C.VOC_MEANS if args.dataset == "VOC" else C.MEANS
+    if args.on_device_augment:
+        from refinedet_tpu.data.augment_jax import StagingTransform
+        transform = StagingTransform(2 * size)
+    else:
+        transform = SSDAugmentation(size, means)
     if args.dataset == "VOC":
         root = args.dataset_root or C.VOC_ROOT
-        dataset = VOCDetection(
-            root, transform=SSDAugmentation(size, C.VOC_MEANS))
+        dataset = VOCDetection(root, transform=transform)
         num_classes = 21
     else:
         root = args.dataset_root or C.COCOroot
-        dataset = COCODetection(
-            root, [("sarship", "train")],
-            SSDAugmentation(size, C.MEANS), seed=args.seed)
+        dataset = COCODetection(root, [("sarship", "train")], transform,
+                                seed=args.seed)
         num_classes = dataset.num_classes
 
     import jax.numpy as jnp
@@ -77,7 +85,8 @@ def main():
         batch_size=args.batch_size, lr=args.lr, momentum=args.momentum,
         weight_decay=args.weight_decay, gamma=args.gamma,
         max_epoch=args.max_epoch, num_workers=args.num_workers,
-        seed=args.seed)
+        seed=args.seed, grad_clip_norm=args.grad_clip,
+        on_device_augment=args.on_device_augment, mean=tuple(means))
     trainer = Trainer(model, dataset, cfg, save_folder=args.save_folder,
                       dataset_name=args.dataset, num_devices=args.ngpu)
 
