@@ -82,15 +82,24 @@ class AnchorConfig:
 
 
 def _refinedet_cfg(size: int, num_classes: int, name: str) -> AnchorConfig:
-    fm = {320: (40, 20, 10, 5), 512: (64, 32, 16, 8)}[size]
+    # 896 is the five-source variant sketched (but left config-less) by the
+    # reference's BN model (refinedet_bn.py:347-375): an extra conv3_3
+    # source at stride 8 with the pyramid extended one level deeper.
+    # 896 taps conv3_3 before pool3 -> stride-4 lead source; the min_size
+    # progression keeps the reference's min_size = 4 * step rule.
+    fm = {320: (40, 20, 10, 5), 512: (64, 32, 16, 8),
+          896: (224, 112, 56, 28, 14)}[size]
+    steps = (8, 16, 32, 64) if size != 896 else (4, 8, 16, 32, 64)
+    min_sizes = ((32, 64, 128, 256) if size != 896
+                 else (16, 32, 64, 128, 256))
     return AnchorConfig(
         num_classes=num_classes,
         feature_maps=fm,
         min_dim=size,
-        steps=(8, 16, 32, 64),
-        min_sizes=(32, 64, 128, 256),
+        steps=steps,
+        min_sizes=min_sizes,
         max_sizes=(),
-        aspect_ratios=((2,), (2,), (2,), (2,)),
+        aspect_ratios=tuple((2,) for _ in fm),
         variance=(0.1, 0.2),
         clip=True,
         name=name,
@@ -103,10 +112,12 @@ def _refinedet_cfg(size: int, num_classes: int, name: str) -> AnchorConfig:
 voc_refinedet = {
     "320": _refinedet_cfg(320, 21, "RefineDet_VOC_320"),
     "512": _refinedet_cfg(512, 21, "RefineDet_VOC_512"),
+    "896": _refinedet_cfg(896, 21, "RefineDet_VOC_896"),
 }
 coco_refinedet = {
     "320": _refinedet_cfg(320, 2, "RefineDet_COCO_320"),
     "512": _refinedet_cfg(512, 2, "RefineDet_COCO_512"),
+    "896": _refinedet_cfg(896, 2, "RefineDet_COCO_896"),
 }
 
 # Plain-SSD configs (legacy paths, reference config.py:16-60).

@@ -42,9 +42,10 @@ class RefineDetModel:
                  use_bn: bool = False, dtype: Any = jnp.float32):
         if phase not in ("train", "test"):
             raise ValueError(f"phase must be 'train' or 'test', got {phase!r}")
-        if size not in (320, 512):
+        if size not in (320, 512, 896):
             raise ValueError(
-                "currently only RefineDet320 and RefineDet512 are supported")
+                "supported sizes: 320, 512 (reference) and 896 "
+                "(five-source variant)")
         self.phase = phase
         self.size = size
         self.num_classes = num_classes

@@ -98,6 +98,12 @@ class RefineDet(nn.Module):
                 x = self._conv(ch, 3, f"vgg_{name}", padding=1)(x)
                 x = self._maybe_bn(x, f"vgg_{name}_bn", train)
                 x = nn.relu(x)
+                if name == "conv3_3" and self.size == 896:
+                    # Five-source variant (refinedet_bn.py:56-59,108-112):
+                    # an extra stride-8 source tapped at conv3_3.
+                    sources.append(
+                        L2Norm(256, 10.0, dtype=self.dtype,
+                               name="conv3_3_L2Norm")(x))
                 if name == "conv4_3":
                     sources.append(
                         L2Norm(512, 10.0, dtype=self.dtype,
@@ -174,5 +180,6 @@ class RefineDet(nn.Module):
 
 
 def expected_num_priors(size: int) -> int:
-    fm = {320: (40, 20, 10, 5), 512: (64, 32, 16, 8)}[size]
+    fm = {320: (40, 20, 10, 5), 512: (64, 32, 16, 8),
+          896: (224, 112, 56, 28, 14)}[size]
     return ANCHORS_PER_CELL * sum(f * f for f in fm)

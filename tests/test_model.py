@@ -69,3 +69,21 @@ def test_forward_is_jittable(tiny320):
     fn = jax.jit(lambda v, x: model.apply(v, x))
     out = fn(params, jnp.zeros((1, 320, 320, 3)))
     assert out[0].shape == (1, 6375, 4)
+
+
+def test_896_five_source_variant():
+    from refinedet_tpu.boxes import generate_priors
+    from refinedet_tpu.config import voc_refinedet
+    model = build_refinedet("train", 896, 21)
+    params = model.init(jax.random.PRNGKey(0))
+    p = expected_num_priors(896)
+    assert p == 3 * (224**2 + 112**2 + 56**2 + 28**2 + 14**2)
+    assert generate_priors(voc_refinedet["896"]).shape == (p, 4)
+    # five ARM/ODM heads + conv3_3 L2Norm present
+    names = set(params["params"].keys())
+    assert {"arm_loc4", "odm_conf4", "tcb0_4_conv1",
+            "conv3_3_L2Norm"} <= names
+    x = jnp.zeros((1, 896, 896, 3))
+    arm_loc, arm_conf, odm_loc, odm_conf, priors = model.apply(params, x)
+    assert arm_loc.shape == (1, p, 4)
+    assert odm_conf.shape == (1, p, 21)
