@@ -87,6 +87,19 @@ class Trainer:
         if epoch % 10 == 0 or (epoch > 200 and epoch % 5 == 0):
             self.ckpt.save(state, epoch)
 
+    def _validate_batch(self, batch) -> None:
+        """Target sanity guard, counterpart of the reference's coordinate
+        check (train_refinedet.py:241-245) — but raising a descriptive
+        error instead of silently killing iteration via StopIteration.
+        Skipped when targets are staging-pixel coords (on-device aug)."""
+        if self.cfg.on_device_augment:
+            return
+        coords = batch.boxes[batch.valid]
+        if coords.size and (coords.min() < -1e-3 or coords.max() > 1 + 1e-3):
+            raise ValueError(
+                f"target coords outside [0, 1]: min {coords.min():.4f} "
+                f"max {coords.max():.4f} — dataset/transform mismatch?")
+
     def train(self, state: Optional[TrainState] = None,
               start_epoch: int = 0,
               max_epochs: Optional[int] = None) -> TrainState:
@@ -99,6 +112,7 @@ class Trainer:
             self._maybe_checkpoint(state, epoch - 1)
             for batch in self.loader:
                 t0 = time.time()
+                self._validate_batch(batch)
                 sb = shard_batch(self.mesh, batch)
                 state, metrics = self.train_step(
                     state, sb.images, sb.boxes, sb.labels, sb.valid)
