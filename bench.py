@@ -62,7 +62,8 @@ def measure_jax():
     log(f"batched throughput: {throughput:.1f} img/s "
         f"({dt / ITERS * 1000:.2f} ms / batch of {BATCH})")
 
-    # batch-1 p50 latency
+    # batch-1 p50 latency (includes one host<->device round trip; through
+    # the dev tunnel this is dominated by RPC overhead)
     one = images[:1]
     lat_fn = jax.jit(model.apply)
     jax.block_until_ready(lat_fn(params, one))
@@ -71,7 +72,25 @@ def measure_jax():
         t0 = time.time()
         jax.block_until_ready(lat_fn(params, one))
         lats.append(time.time() - t0)
-    log(f"batch-1 p50 latency: {np.median(lats) * 1000:.2f} ms")
+    log(f"batch-1 p50 latency (incl. host RTT): "
+        f"{np.median(lats) * 1000:.2f} ms")
+
+    # device-only latency: chain N dependent inferences inside one program
+    # so no host round trip is involved
+    n_chain = 20
+
+    @jax.jit
+    def chained(variables, img):
+        def body(_, x):
+            boxes, scores = model.apply(variables, x)
+            return x + 0.0 * boxes.sum()  # serialize the chain
+        return jax.lax.fori_loop(0, n_chain, body, img)
+
+    jax.block_until_ready(chained(params, one))
+    t0 = time.time()
+    jax.block_until_ready(chained(params, one))
+    log(f"batch-1 device-only latency: "
+        f"{(time.time() - t0) / n_chain * 1000:.2f} ms")
     return throughput
 
 

@@ -33,7 +33,11 @@ class DataLoader:
     def __init__(self, dataset, batch_size: int, max_boxes: int = 60,
                  num_workers: int = 8, shuffle: bool = True, seed: int = 0,
                  prefetch: int = 2, drop_last: bool = True,
-                 device_put: Optional[Callable[[Batch], Batch]] = None):
+                 device_put: Optional[Callable[[Batch], Batch]] = None,
+                 shard_id: int = 0, num_shards: int = 1):
+        """``shard_id``/``num_shards`` give each host a disjoint,
+        epoch-consistent slice of the global shuffle for multi-host DP
+        (all hosts must use the same seed)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.max_boxes = max_boxes
@@ -43,10 +47,12 @@ class DataLoader:
         self.prefetch = prefetch
         self.drop_last = drop_last
         self.device_put = device_put
+        self.shard_id = shard_id
+        self.num_shards = num_shards
         self.epoch = 0
 
     def __len__(self) -> int:
-        n = len(self.dataset)
+        n = len(self.dataset) // self.num_shards
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _epoch_indices(self) -> np.ndarray:
@@ -54,6 +60,9 @@ class DataLoader:
         if self.shuffle:
             np.random.default_rng(
                 np.random.SeedSequence([self.seed, self.epoch])).shuffle(idx)
+        if self.num_shards > 1:
+            per = len(idx) // self.num_shards
+            idx = idx[self.shard_id * per:(self.shard_id + 1) * per]
         return idx
 
     def __iter__(self) -> Iterator[Batch]:

@@ -126,3 +126,16 @@ def test_evaluate_detections_misses_lower_ap(coco_root):
     n_gt = sum(len(ds.annotations[i]) for i in range(len(ds)))
     expected_recall = len(ds) / n_gt
     assert stats[1] == pytest.approx(expected_recall, abs=0.05)
+
+
+def test_loader_sharding(coco_root):
+    ds = COCODetection(coco_root, [("sarship", "train")], None)
+    shard0 = DataLoader(ds, batch_size=1, num_workers=1, seed=4,
+                        shard_id=0, num_shards=2)
+    shard1 = DataLoader(ds, batch_size=1, num_workers=1, seed=4,
+                        shard_id=1, num_shards=2)
+    i0 = shard0._epoch_indices().tolist()
+    i1 = shard1._epoch_indices().tolist()
+    assert len(i0) == len(i1) == 3
+    assert not set(i0) & set(i1)          # disjoint
+    assert len(shard0) == 3
