@@ -46,6 +46,18 @@ def jaccard(box_a: jnp.ndarray, box_b: jnp.ndarray) -> jnp.ndarray:
     return inter / union
 
 
+def log_sum_exp(x: jnp.ndarray) -> jnp.ndarray:
+    """Max-stabilized log-sum-exp over the last axis, keepdims.
+
+    API parity with box_utils.py:208-216 (used there for hard-negative
+    mining); the reference stabilizes with the global max, which is
+    mathematically identical.
+    """
+    x_max = jnp.max(x)
+    return jnp.log(jnp.sum(jnp.exp(x - x_max), axis=-1,
+                           keepdims=True)) + x_max
+
+
 def iou_pairwise(box_a: jnp.ndarray, box_b: jnp.ndarray,
                  plus_one: bool = False) -> jnp.ndarray:
     """Pairwise IoU with optional +1 pixel-area convention.
