@@ -55,16 +55,21 @@ def make_loader(model, trainer_template=None):
     import jax
 
     def load(path):
-        init = model.init(jax.random.PRNGKey(0))
         if str(path).endswith((".pth", ".pkl")):
+            init = model.init(jax.random.PRNGKey(0))
             from refinedet_tpu.models.torch_import import load_weights
             params = load_weights(dict(init["params"]), str(path))
             return {"params": params}
+        # Orbax checkpoints may be a bare variables dict or a full
+        # TrainState (step/params/opt_state/batch_stats) from the Trainer;
+        # restore template-free and pick out the model variables.
         import orbax.checkpoint as ocp
-        import numpy as np_
-        template = jax.tree.map(np_.asarray, init)
-        restored = ocp.StandardCheckpointer().restore(
-            osp.abspath(path), template)
+        restored = ocp.StandardCheckpointer().restore(osp.abspath(path))
+        if "params" in restored:
+            variables = {"params": restored["params"]}
+            if restored.get("batch_stats") is not None:
+                variables["batch_stats"] = restored["batch_stats"]
+            return variables
         return restored
 
     return load

@@ -69,6 +69,35 @@ class Evaluator:
             plus_one=self.plus_one)
         return jnp.concatenate([bx, sc[..., None]], axis=-1)
 
+    def _staged_batches(self, n: int):
+        """Host preprocessing, prefetched one batch ahead of the device."""
+        import queue
+        import threading
+        size = self.model.size
+        q: "queue.Queue" = queue.Queue(maxsize=2)
+
+        def produce():
+            for b0 in range(0, n, self.batch_size):
+                idx = list(range(b0, min(b0 + self.batch_size, n)))
+                imgs = np.zeros((self.batch_size, size, size, 3),
+                                np.float32)
+                scales = np.ones((self.batch_size, 4), np.float32)
+                for j, i in enumerate(idx):
+                    raw = self.dataset.pull_image(i)
+                    raw = raw[0] if isinstance(raw, tuple) else raw
+                    imgs[j] = self.transform(raw)
+                    h, w = raw.shape[:2]
+                    scales[j] = (w, h, w, h)
+                q.put((idx, imgs, scales))
+            q.put(None)
+
+        threading.Thread(target=produce, daemon=True).start()
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            yield item
+
     def run(self, variables) -> List[List[np.ndarray]]:
         """Returns all_boxes[class][image] = [N, 5] (x1,y1,x2,y2,score)."""
         n = len(self.dataset)
@@ -76,19 +105,9 @@ class Evaluator:
         all_boxes: List[List[np.ndarray]] = [
             [np.empty((0, 5), np.float32) for _ in range(n)]
             for _ in range(c)]
-        size = self.model.size
         batch_times = []
         t_start = time.time()
-        for b0 in range(0, n, self.batch_size):
-            idx = list(range(b0, min(b0 + self.batch_size, n)))
-            imgs = np.zeros((self.batch_size, size, size, 3), np.float32)
-            scales = np.ones((self.batch_size, 4), np.float32)
-            for j, i in enumerate(idx):
-                raw = self.dataset.pull_image(i)
-                raw = raw[0] if isinstance(raw, tuple) else raw
-                imgs[j] = self.transform(raw)
-                h, w = raw.shape[:2]
-                scales[j] = (w, h, w, h)
+        for idx, imgs, scales in self._staged_batches(n):
             t0 = time.time()
             dets = self._fn(variables, jnp.asarray(imgs),
                             jnp.asarray(scales))
