@@ -56,10 +56,12 @@ def main():
         conf_thresh=args.confidence_threshold,
         nms_thresh=args.nms_threshold,
         objectness_thresh=args.objectness_thre)
+    # The reference VOC path ran the torch NMS (no +1 area convention,
+    # box_utils.py:241), unlike the COCO path's C/CUDA NMS.
     evaluator = Evaluator(model, dataset, cfg,
                           BaseTransform(size, C.VOC_MEANS),
                           batch_size=args.batch_size,
-                          nms_top_k=args.nms_top_k)
+                          nms_top_k=args.nms_top_k, plus_one=False)
 
     from eval_refinedet_coco import make_loader
     variables = make_loader(model)(args.trained_model)

@@ -121,6 +121,11 @@ class VOCDetection:
         rows = [[*t[:4], int(t[4]) - 1] for t in target]
         return img_id, rows
 
+    def pull_tensor(self, index: int) -> np.ndarray:
+        """Raw image as a [1, H, W, 3] float32 array (NHWC — the torch
+        version returned CHW; voc0712.py:171-184 parity accessor)."""
+        return self.pull_image(index).astype(np.float32)[None]
+
     def pull_anno_full(self, index: int):
         """All objects incl. difficult: (img_id, boxes [N,4],
         labels0 [N] 0-based, difficult [N] bool). For AP evaluation."""

@@ -36,7 +36,11 @@ class Evaluator:
     def __init__(self, model, dataset, detect_cfg: DetectConfig,
                  transform, batch_size: int = 8, nms_top_k: int = 300,
                  max_per_image: int = 500, plus_one: bool = True,
+                 mesh=None,
                  log: Callable[[str], None] = print):
+        """``mesh``: optional jax.sharding.Mesh — images shard over the
+        'data' axis for multi-chip batched evaluation (params replicated),
+        the eval-side mirror of the training DP layout."""
         self.model = model
         self.dataset = dataset
         self.cfg = detect_cfg
@@ -47,7 +51,18 @@ class Evaluator:
         self.plus_one = plus_one
         self.log = log
         self.num_classes = detect_cfg.num_classes
-        self._fn = jax.jit(self._forward_postprocess)
+        if mesh is None:
+            self._fn = jax.jit(self._forward_postprocess)
+        else:
+            from refinedet_tpu.parallel.mesh import (batch_sharding,
+                                                     replicated_sharding)
+            data = batch_sharding(mesh)
+            repl = replicated_sharding(mesh)
+            if batch_size % mesh.devices.size:
+                raise ValueError("batch_size must divide the mesh size")
+            self._fn = jax.jit(self._forward_postprocess,
+                               in_shardings=(repl, data, data),
+                               out_shardings=data)
 
     def _forward_postprocess(self, variables, images, scales):
         """images [B,S,S,3], scales [B,4] (w,h,w,h) -> dets

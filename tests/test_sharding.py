@@ -75,3 +75,25 @@ def test_dp_matches_single_device(rng):
     p1 = jax.tree.leaves(state1.params)[0]
     p8 = jax.tree.leaves(state8.params)[0]
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p8), atol=1e-5)
+
+
+def test_evaluator_on_mesh(tmp_path):
+    """Multi-device batched eval: images shard over the mesh."""
+    import jax
+    import sys
+    sys.path.insert(0, "tests")
+    from data_fixtures import make_coco_dataset
+    from refinedet_tpu.config import DetectConfig
+    from refinedet_tpu.data import BaseTransform, COCODetection
+    from refinedet_tpu.eval import Evaluator
+    root = str(tmp_path)
+    make_coco_dataset(root, split="test", num_images=8, img_size=64)
+    ds = COCODetection(root, [("sarship", "test")], None)
+    mesh = make_mesh()
+    model = build_refinedet("test", 320, 2)
+    variables = model.init(jax.random.PRNGKey(0))
+    ev = Evaluator(model, ds, DetectConfig(num_classes=2),
+                   BaseTransform(320, (98.1,) * 3), batch_size=8,
+                   nms_top_k=64, mesh=mesh, log=lambda s: None)
+    all_boxes = ev.run(variables)
+    assert len(all_boxes[1]) == 8
