@@ -89,3 +89,16 @@ def test_detect_nms_is_jittable(rng):
     fn = jax.jit(lambda *a: detect_refinedet_nms(*a, cfg))
     out = fn(*map(jnp.asarray, inp))
     assert out.shape == (1, 3, 40, 5)
+
+
+def test_detect_nms_keep_top_k_cap(rng):
+    inp = _inputs(rng, b=1, p=50, c=3)
+    cfg = DetectConfig(num_classes=3, top_k=50, keep_top_k=5,
+                       conf_thresh=0.01, nms_thresh=0.99)
+    out = np.asarray(detect_refinedet_nms(
+        *map(jnp.asarray, inp), cfg, apply_keep_top_k=True))
+    nonzero = (out[0, :, :, 0] > 0).sum()
+    assert nonzero <= 5
+    # without the cap (reference's inert behavior) more survive
+    out2 = np.asarray(detect_refinedet_nms(*map(jnp.asarray, inp), cfg))
+    assert (out2[0, :, :, 0] > 0).sum() > 5

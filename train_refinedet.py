@@ -117,6 +117,11 @@ def main():
           f"({len(dataset)} images, {trainer.mesh.devices.size} devices)")
     trainer.train(state, start_epoch=start_epoch)
 
+    # Post-hoc loss curves from the log (plot_curve.py parity).
+    from refinedet_tpu.utils.plot import plot_loss
+    plot_loss(os.path.join(args.save_folder, "log.txt"),
+              os.path.join(args.save_folder, "loss_curve.png"))
+
 
 if __name__ == "__main__":
     main()
