@@ -35,6 +35,14 @@ class COCODetection:
     """COCO-json dataset emitting absolute-pixel [x1,y1,x2,y2] + 1-based
     labels, mirroring sarship_coco.py:160-173.
 
+    This one class covers BOTH of the reference's COCO loaders: the live
+    SSDD loader (``/root/reference/data/sarship_coco.py``) and the stock
+    disabled one (``/root/reference/data/coco.py`` with its 91->80 label
+    table ``get_label_map``/``coco_labels.txt``, data/coco.py:33-39) —
+    ``_cat_id_to_class_ind`` below derives the contiguous 1-based mapping
+    from the json's own category list, so non-contiguous COCO category ids
+    (stock 2014/2017 jsons included) need no hand-maintained table.
+
     ``image_sets`` is a list of (dataset_dir_name, split) pairs, e.g.
     [("sarship", "train")] -> annotations/instances_sarship_train.json with
     images under root/sarship_train/ (the reference's layout: image dir ==

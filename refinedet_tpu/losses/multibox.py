@@ -61,10 +61,16 @@ def _mined_confidence_loss(conf_data, conf_t, pos, negpos_ratio):
     ce = _cross_entropy_rows(conf_data, conf_t)      # [B, P]
     mining = jnp.where(pos, 0.0, ce)                 # positives filtered out
 
-    # Rank each prior by descending mining loss (double argsort — stable,
-    # mirrors the sort/sort rank computation in the reference).
+    # Rank each prior by descending mining loss. The reference computes
+    # rank with a second sort (sort/sort idx_rank trick); since argsort of
+    # a permutation is its inverse, we invert `order` with a scatter
+    # instead — O(P) rather than a second O(P log^2 P) on-device bitonic
+    # sort, bitwise-identical result (argsort is stable).
     order = jnp.argsort(-mining, axis=1)
-    rank = jnp.argsort(order, axis=1)
+    iota = jnp.broadcast_to(jnp.arange(p, dtype=order.dtype), order.shape)
+    rank = jnp.zeros_like(order).at[
+        jnp.arange(b)[:, None], order].set(iota, mode="promise_in_bounds",
+                                           unique_indices=True)
     num_pos = jnp.sum(pos, axis=1)                               # [B]
     num_neg = jnp.clip(negpos_ratio * num_pos, max=p - 1)        # [B]
     neg = rank < num_neg[:, None]

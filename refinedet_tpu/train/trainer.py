@@ -33,12 +33,14 @@ class Trainer:
                  dataset_name: str = "COCO",
                  num_devices: Optional[int] = None,
                  log_fn: Callable[[str], None] = print,
-                 log_every: int = 1):
+                 log_every: int = 1,
+                 live_plotter=None):
         self.model = model
         self.cfg = train_cfg
         self.dataset = dataset
         self.log = log_fn
         self.log_every = log_every
+        self.live_plotter = live_plotter
 
         self.mesh = make_mesh(num_devices)
         ndev = self.mesh.devices.size
@@ -108,32 +110,61 @@ class Trainer:
                         (start_epoch + max_epochs) if max_epochs
                         else self.cfg.max_epoch)
         iteration = start_epoch * self.epoch_size
+        # Metrics are logged one step DELAYED: device_get on the step just
+        # dispatched would block the host on the whole device program and
+        # serialize staging with compute. By fetching step i's metrics only
+        # after dispatching step i+1, the host stays one step ahead and the
+        # loader/device pipeline runs back-to-back (the reference prints
+        # synchronously every iter, train_refinedet.py:263-267 — same log
+        # format here, just pipelined).
+        pending = None  # (iteration, epoch, device_metrics)
+        last_t = time.time()
+        last_iter = iteration
+
+        def flush(pending):
+            nonlocal last_t, last_iter
+            it, ep, dev_metrics = pending
+            metrics = jax.device_get(dev_metrics)
+            now = time.time()
+            bt = (now - last_t) / max(1, it - last_iter)
+            last_t, last_iter = now, it
+            lr = float(self.lr_schedule(it - 1))
+            eta = int(bt * (self.max_iter - it))
+            self.log(
+                f"Epoch:{ep}/{self.cfg.max_epoch} || "
+                f"Epochiter: {((it - 1) % self.epoch_size) + 1}"
+                f"/{self.epoch_size} || Iter: {it}"
+                f"/{self.max_iter} || "
+                f"ARM_L Loss: {metrics['arm_loss_l']:.4f} "
+                f"ARM_C Loss: {metrics['arm_loss_c']:.4f} "
+                f"ODM_L Loss: {metrics['odm_loss_l']:.4f} "
+                f"ODM_C Loss: {metrics['odm_loss_c']:.4f} "
+                f"loss: {metrics['loss']:.4f} || "
+                f"LR: {lr:.8f} || Batchtime: {bt:.4f} s || "
+                f"ETA: {datetime.timedelta(seconds=eta)}")
+            if self.live_plotter is not None:
+                self.live_plotter.update(it, metrics)
+
         for epoch in range(start_epoch + 1, end_epoch + 1):
             self._maybe_checkpoint(state, epoch - 1)
             for batch in self.loader:
-                t0 = time.time()
                 self._validate_batch(batch)
                 sb = shard_batch(self.mesh, batch)
                 state, metrics = self.train_step(
                     state, sb.images, sb.boxes, sb.labels, sb.valid)
                 iteration += 1
+                if pending is not None:
+                    flush(pending)
+                    pending = None
                 if iteration % self.log_every == 0:
-                    metrics = jax.device_get(metrics)
-                    lr = float(self.lr_schedule(iteration - 1))
-                    bt = time.time() - t0
-                    eta = int(bt * (self.max_iter - iteration))
-                    self.log(
-                        f"Epoch:{epoch}/{self.cfg.max_epoch} || "
-                        f"Epochiter: {((iteration - 1) % self.epoch_size) + 1}"
-                        f"/{self.epoch_size} || Iter: {iteration}"
-                        f"/{self.max_iter} || "
-                        f"ARM_L Loss: {metrics['arm_loss_l']:.4f} "
-                        f"ARM_C Loss: {metrics['arm_loss_c']:.4f} "
-                        f"ODM_L Loss: {metrics['odm_loss_l']:.4f} "
-                        f"ODM_C Loss: {metrics['odm_loss_c']:.4f} "
-                        f"loss: {metrics['loss']:.4f} || "
-                        f"LR: {lr:.8f} || Batchtime: {bt:.4f} s || "
-                        f"ETA: {datetime.timedelta(seconds=eta)}")
+                    pending = (iteration, epoch, metrics)
+            if self.live_plotter is not None:
+                if pending is not None:
+                    flush(pending)
+                    pending = None
+                self.live_plotter.end_epoch(epoch)
+        if pending is not None:
+            flush(pending)
         if self.ckpt is not None:
             self.ckpt.save(state, "final")
         return state

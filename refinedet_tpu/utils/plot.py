@@ -89,3 +89,76 @@ def plot_map(ap_stats_path: str, out_path: str = "ap_curve.png",
     fig.savefig(out_path, dpi=120, bbox_inches="tight")
     plt.close(fig)
     return out_path
+
+
+class LivePlotter:
+    """Live training-loss visualization.
+
+    Headless TPU-native counterpart of the reference's optional visdom
+    loss windows (``/root/reference/train_refinedet.py:102-104,205-209,
+    273-275,308-336``): instead of streaming to a visdom server, it
+    accumulates per-iteration and per-epoch loss series in memory and
+    re-renders them to PNGs on a cadence, so a dashboard (or just an image
+    viewer / browser tab) can watch training progress without parsing
+    log.txt. No-op (collect only) when matplotlib is unavailable.
+    """
+
+    _KEYS = ("arm_loss_l", "arm_loss_c", "odm_loss_l", "odm_loss_c", "loss")
+
+    def __init__(self, out_dir: str, render_every: int = 50):
+        import os
+        self.out_dir = out_dir
+        os.makedirs(out_dir, exist_ok=True)
+        self.render_every = max(1, render_every)
+        self.iters: List[int] = []
+        self.series: Dict[str, List[float]] = {k: [] for k in self._KEYS}
+        self.epochs: List[int] = []
+        self.epoch_series: Dict[str, List[float]] = {k: [] for k in self._KEYS}
+        self._epoch_acc: Dict[str, float] = {k: 0.0 for k in self._KEYS}
+        self._epoch_n = 0
+
+    def update(self, iteration: int, metrics: Dict[str, float]) -> None:
+        """Record one iteration's losses (reference's iter_plot window)."""
+        self.iters.append(int(iteration))
+        for k in self._KEYS:
+            v = float(metrics[k])
+            self.series[k].append(v)
+            self._epoch_acc[k] += v
+        self._epoch_n += 1
+        if len(self.iters) % self.render_every == 0:
+            self.render()
+
+    def end_epoch(self, epoch: int) -> None:
+        """Fold the accumulated epoch means into the epoch plot
+        (reference's epoch_plot window, train_refinedet.py:218-223)."""
+        if self._epoch_n == 0:
+            return
+        self.epochs.append(int(epoch))
+        for k in self._KEYS:
+            self.epoch_series[k].append(self._epoch_acc[k] / self._epoch_n)
+            self._epoch_acc[k] = 0.0
+        self._epoch_n = 0
+        self.render()
+
+    def render(self) -> Optional[str]:
+        import os
+        plt = _get_plt()
+        if plt is None:
+            return None
+        fig, axes = plt.subplots(1, 2, figsize=(14, 5))
+        for k in self._KEYS:
+            if self.iters:
+                axes[0].plot(self.iters, self.series[k], label=k, lw=0.8)
+            if self.epochs:
+                axes[1].plot(self.epochs, self.epoch_series[k], marker="o",
+                             label=k)
+        axes[0].set_xlabel("iteration")
+        axes[1].set_xlabel("epoch")
+        for ax, has_data in zip(axes, (bool(self.iters), bool(self.epochs))):
+            ax.set_ylabel("loss")
+            if has_data:
+                ax.legend(fontsize=8)
+        out = os.path.join(self.out_dir, "live_loss.png")
+        fig.savefig(out, dpi=100, bbox_inches="tight")
+        plt.close(fig)
+        return out

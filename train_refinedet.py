@@ -52,6 +52,11 @@ def parse_args():
                    help="run the SSD augmentation chain on the TPU, fused "
                         "into the train step (host only stages images)")
     p.add_argument("--grad_clip", default=0.0, type=float)
+    p.add_argument("--visdom", "--live_plot", dest="live_plot",
+                   action="store_true",
+                   help="live loss visualization: re-render "
+                        "<save_folder>/live_loss.png as training runs "
+                        "(counterpart of the reference's --visdom)")
     return p.parse_args()
 
 
@@ -87,8 +92,13 @@ def main():
         max_epoch=args.max_epoch, num_workers=args.num_workers,
         seed=args.seed, grad_clip_norm=args.grad_clip,
         on_device_augment=args.on_device_augment, mean=tuple(means))
+    live = None
+    if args.live_plot:
+        from refinedet_tpu.utils.plot import LivePlotter
+        live = LivePlotter(args.save_folder)
     trainer = Trainer(model, dataset, cfg, save_folder=args.save_folder,
-                      dataset_name=args.dataset, num_devices=args.ngpu)
+                      dataset_name=args.dataset, num_devices=args.ngpu,
+                      live_plotter=live)
 
     start_epoch = 0
     state = None
