@@ -42,9 +42,18 @@ def smooth_l1(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _cross_entropy_rows(logits: jnp.ndarray, targets: jnp.ndarray):
-    """Per-row CE: logsumexp(logits) - logits[target]. [..., C] x [...] -> [...]."""
+    """Per-row CE: logsumexp(logits) - logits[target]. [..., C] x [...] -> [...].
+
+    The target logit is picked with a one-hot contraction rather than
+    ``take_along_axis``: a dynamic-index gather over the minor axis lowers
+    to a serialized kCustom fusion on TPU (~5 ms per call at B=64,
+    P=6375 — measured 10 ms/step across the two heads), while the one-hot
+    multiply-reduce is a trivially vectorized elementwise op. Exact: the
+    mask selects a single element.
+    """
     lse = jax.nn.logsumexp(logits, axis=-1)
-    picked = jnp.take_along_axis(logits, targets[..., None], axis=-1)[..., 0]
+    onehot = jax.nn.one_hot(targets, logits.shape[-1], dtype=logits.dtype)
+    picked = jnp.sum(logits * onehot, axis=-1)
     return lse - picked
 
 
