@@ -183,6 +183,7 @@ class TrainConfig:
     num_workers: int = 8
     seed: int = 0
     dtype: str = "float32"  # compute dtype for the model ("bfloat16" on TPU)
+    spatial_shards: int = 1  # >1: shard image H over a 'space' mesh axis
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,6 +1,6 @@
-from refinedet_tpu.parallel.mesh import (batch_sharding, make_mesh,
-                                         replicate, replicated_sharding,
-                                         shard_batch)
+from refinedet_tpu.parallel.mesh import (batch_sharding, image_sharding,
+                                         make_mesh, replicate,
+                                         replicated_sharding, shard_batch)
 
-__all__ = ["batch_sharding", "make_mesh", "replicate",
+__all__ = ["batch_sharding", "image_sharding", "make_mesh", "replicate",
            "replicated_sharding", "shard_batch"]

@@ -23,7 +23,8 @@ from flax import struct
 
 from refinedet_tpu.config import AnchorConfig, TrainConfig
 from refinedet_tpu.losses.multibox import refinedet_multibox_loss
-from refinedet_tpu.parallel.mesh import (batch_sharding, replicated_sharding)
+from refinedet_tpu.parallel.mesh import (batch_sharding, image_sharding,
+                                         replicated_sharding)
 
 
 class TrainState(struct.PyTreeNode):
@@ -139,9 +140,13 @@ def make_train_step(model, tx: optax.GradientTransformation,
 
     repl = replicated_sharding(mesh)
     data = batch_sharding(mesh)
+    # Images may additionally be sharded along H over a 'space' mesh axis
+    # (spatial parallelism for very large inputs); XLA SPMD inserts the
+    # conv halo exchanges and re-gathers at the flattened-head boundary.
+    img = image_sharding(mesh)
     return jax.jit(
         step,
-        in_shardings=(repl, data, data, data, data),
+        in_shardings=(repl, img, data, data, data),
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )

@@ -42,12 +42,24 @@ class Trainer:
         self.log_every = log_every
         self.live_plotter = live_plotter
 
-        self.mesh = make_mesh(num_devices)
-        ndev = self.mesh.devices.size
+        sp = max(1, train_cfg.spatial_shards)
+        if sp > 1:
+            import jax
+            ndev_total = (num_devices if num_devices is not None
+                          else len(jax.devices()))
+            if ndev_total % sp:
+                raise ValueError(
+                    f"{ndev_total} devices not divisible by "
+                    f"spatial_shards={sp}")
+            self.mesh = make_mesh(ndev_total, ("data", "space"),
+                                  shape=(ndev_total // sp, sp))
+        else:
+            self.mesh = make_mesh(num_devices)
+        ndev = self.mesh.shape["data"]
         if train_cfg.batch_size % ndev:
             raise ValueError(
                 f"batch_size {train_cfg.batch_size} not divisible by "
-                f"{ndev} devices")
+                f"{ndev} data-parallel devices")
 
         self.epoch_size = math.ceil(len(dataset) / train_cfg.batch_size)
         self.max_iter = train_cfg.max_epoch * self.epoch_size

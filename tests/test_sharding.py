@@ -77,6 +77,39 @@ def test_dp_matches_single_device(rng):
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p8), atol=1e-5)
 
 
+def test_dp_sp_mesh_matches_single_device(rng):
+    """2-D (data x space) mesh: batch sharded 4-way, image height sharded
+    2-way. XLA SPMD inserts conv halo exchanges; the step must equal the
+    single-device step on the same global batch."""
+    from refinedet_tpu.parallel import image_sharding
+
+    model = build_refinedet("train", 320, 2)
+    cfg = TrainConfig(batch_size=4, max_boxes=8)
+    tx = make_optimizer(lambda s: 1e-3)
+    batch = _fake_batch(rng, b=4)
+
+    state1 = create_train_state(model, jax.random.PRNGKey(0), tx)
+    step1 = make_train_step(model, tx, cfg)
+    state1, m1 = step1(state1, *(jnp.asarray(x) for x in batch))
+
+    mesh = make_mesh(8, axis_names=("data", "space"), shape=(4, 2))
+    assert image_sharding(mesh).spec == jax.sharding.PartitionSpec(
+        "data", "space")
+    state2 = replicate(mesh, create_train_state(
+        model, jax.random.PRNGKey(0), tx))
+    step2 = make_train_step(model, tx, cfg, mesh)
+    sb = shard_batch(mesh, Batch(*batch))
+    assert len(sb.images.addressable_shards) == 8
+    assert sb.images.addressable_shards[0].data.shape[:2] == (1, 160)
+    state2, m2 = step2(state2, sb.images, sb.boxes, sb.labels, sb.valid)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-4)
+    p1 = jax.tree.leaves(state1.params)[0]
+    p2 = jax.tree.leaves(state2.params)[0]
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-5)
+
+
 def test_evaluator_on_mesh(tmp_path):
     """Multi-device batched eval: images shard over the mesh."""
     import jax

@@ -52,6 +52,10 @@ def parse_args():
                    help="run the SSD augmentation chain on the TPU, fused "
                         "into the train step (host only stages images)")
     p.add_argument("--grad_clip", default=0.0, type=float)
+    p.add_argument("--spatial_shards", default=1, type=int,
+                   help="shard image height over a 'space' mesh axis "
+                        "(devices = data_parallel x spatial_shards); for "
+                        "very large inputs, e.g. the 896 variant")
     p.add_argument("--visdom", "--live_plot", dest="live_plot",
                    action="store_true",
                    help="live loss visualization: re-render "
@@ -91,7 +95,8 @@ def main():
         weight_decay=args.weight_decay, gamma=args.gamma,
         max_epoch=args.max_epoch, num_workers=args.num_workers,
         seed=args.seed, grad_clip_norm=args.grad_clip,
-        on_device_augment=args.on_device_augment, mean=tuple(means))
+        on_device_augment=args.on_device_augment, mean=tuple(means),
+        spatial_shards=args.spatial_shards)
     live = None
     if args.live_plot:
         from refinedet_tpu.utils.plot import LivePlotter
