@@ -77,6 +77,18 @@ def test_dp_matches_single_device(rng):
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p8), atol=1e-5)
 
 
+def test_distributed_helpers_single_process(monkeypatch):
+    """maybe_initialize is a no-op without a coordinator; index helpers
+    match the loader's shard_id/num_shards contract."""
+    from refinedet_tpu.parallel import distributed
+    for var in ("JAX_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES",
+                "MEGASCALE_COORDINATOR_ADDRESS"):
+        monkeypatch.delenv(var, raising=False)
+    assert distributed.maybe_initialize() is False
+    assert distributed.process_index() == 0
+    assert distributed.process_count() == 1
+
+
 def test_dp_sp_mesh_matches_single_device(rng):
     """2-D (data x space) mesh: batch sharded 4-way, image height sharded
     2-way. XLA SPMD inserts conv halo exchanges; the step must equal the
