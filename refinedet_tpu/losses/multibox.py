@@ -5,8 +5,9 @@ TPU-native counterpart of the reference's loss modules
 ``multibox_loss.py:10-127``). The reference does per-image Python matching
 loops on host tensors and boolean-mask gathers (dynamic shapes); here
 everything is static-shape: matching is vmapped (see boxes/matcher.py) and
-hard-negative mining uses the double-argsort rank trick, which maps 1:1 to
-refinedet_multibox_loss.py:116-123 and compiles to two on-device sorts.
+hard-negative mining computes the reference's double-argsort ranks
+(refinedet_multibox_loss.py:116-123) as one on-device sort plus an
+inverse-permutation scatter.
 
 Semantics preserved:
   * smooth-L1 (beta=1) localization loss summed over positives;

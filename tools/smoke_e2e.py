@@ -52,9 +52,11 @@ all_boxes = ev.run({"params": jax.device_get(state.params)})
 stats = ds.evaluate_detections(all_boxes, None)
 print("TRAIN-SET AP:", round(float(stats[0]), 4), "AP50:", round(float(stats[1]), 4), flush=True)
 
-# Recorded result (1x TPU v5 lite, bf16, from-scratch, 2026-08-16):
-#   it 0: loss 1140.1 -> it 500: loss 5.6; 600 steps in 127 s
-#   train-set AP 0.4615, AP50 0.7283, AP75 0.524
+# Recorded results (1x TPU v5 lite, bf16, from-scratch, 2026-08-16):
+#   600 steps (this script): loss 1140.1 -> 5.6 in 127 s;
+#     train-set AP 0.4615, AP50 0.7283, AP75 0.524
+#   2000 steps (same harness, lr decay x0.1 at 1500): full convergence —
+#     train-set AP 0.8777, AP50 1.000, AP75 1.000
 # This is the end-to-end learnability smoke: synthetic bright-rectangle
 # SSDD-style data, no pretrained backbone, full pipeline
 # (staging -> matching -> ARM/ODM losses -> SGD -> Pallas NMS -> COCOeval).
