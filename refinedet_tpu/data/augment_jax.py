@@ -84,7 +84,7 @@ def hsv_to_rgb(hsv: jnp.ndarray) -> jnp.ndarray:
 
 def photometric_distort(img: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
     """Reference PhotometricDistort semantics on [H, W, 3] RGB float32."""
-    ks = jax.random.split(key, 10)
+    ks = jax.random.split(key, 11)
 
     img = jnp.where(jax.random.bernoulli(ks[0]),
                     img + jax.random.uniform(ks[1], (), minval=-32.0,
@@ -105,8 +105,10 @@ def photometric_distort(img: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
                                        0.0))
     img = hsv_to_rgb(hsv)
     img = jnp.where(~first, contrast(img, ks[3], ks[4]), img)
+    # Independent draws for WHICH permutation and WHETHER to apply it
+    # (sharing one key would couple the 1/2 coin with the choice-of-6).
     perm = _PERMS[jax.random.randint(ks[9], (), 0, 6)]
-    img = jnp.where(jax.random.bernoulli(ks[9]), img[..., perm], img)
+    img = jnp.where(jax.random.bernoulli(ks[10]), img[..., perm], img)
     return img
 
 
@@ -245,10 +247,14 @@ def augment_batch(images: jnp.ndarray, boxes: jnp.ndarray,
       boxes: [B, M, 4] absolute staging-pixel point-form.
       valid: [B, M] bool.
       key: PRNG key (fold in the step index for per-step randomness).
+      mean: per-channel mean in the reference's BGR order (config MEANS /
+        VOC_MEANS). Images here are already RGB (StagingTransform flips),
+        so the mean is reversed before subtraction — matching the host
+        path, which subtracts in BGR *before* the RGB flip.
     Returns (images [B, out, out, 3] mean-subtracted, boxes [B, M, 4]
     normalized, valid [B, M]).
     """
-    mean_arr = jnp.asarray(mean, jnp.float32)
+    mean_arr = jnp.asarray(mean, jnp.float32)[::-1]
     keys = jax.random.split(key, images.shape[0])
     return jax.vmap(
         lambda i, b, v, k: _augment_one(i, b, v, k, out_size, mean_arr,

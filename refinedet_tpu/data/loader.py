@@ -66,10 +66,27 @@ class DataLoader:
         return idx
 
     def __iter__(self) -> Iterator[Batch]:
+        # Re-randomize per-sample augmentation draws each epoch (datasets
+        # seed their RNG from (seed, epoch, index); without this every
+        # image would get the identical crop/flip/distort in all epochs).
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(self.epoch)
         indices = self._epoch_indices()
         n_batches = len(self)
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
+
+        def put_or_stop(item) -> bool:
+            """Bounded put that keeps polling the stop flag — a consumer
+            that abandons the epoch early (exception, break) must not
+            leave this thread parked forever on a full queue."""
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def produce():
             with ThreadPoolExecutor(self.num_workers) as pool:
@@ -83,8 +100,9 @@ class DataLoader:
                     batch = detection_collate(samples, self.max_boxes)
                     if self.device_put is not None:
                         batch = self.device_put(batch)
-                    out_q.put(batch)
-            out_q.put(None)
+                    if not put_or_stop(batch):
+                        return
+            put_or_stop(None)
 
         worker = threading.Thread(target=produce, daemon=True)
         worker.start()

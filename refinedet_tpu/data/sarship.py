@@ -113,6 +113,12 @@ class COCODetection:
             return np.zeros((0, 5), np.float32)
         return np.asarray(rows, np.float32)
 
+    def set_epoch(self, epoch: int) -> None:
+        """Advance the per-sample augmentation RNG stream (called by the
+        DataLoader each epoch so draws differ across epochs while staying
+        deterministic given (seed, epoch, index))."""
+        self.epoch = int(epoch)
+
     def __getitem__(self, index: int):
         img = cv2.imread(self.ids[index], cv2.IMREAD_COLOR)
         target = self.annotations[index]
@@ -120,7 +126,8 @@ class COCODetection:
         labels = target[:, 4].astype(np.int32)
         if self.transform is not None:
             rng = np.random.default_rng(
-                np.random.SeedSequence([self.seed, index]))
+                np.random.SeedSequence(
+                    [self.seed, getattr(self, "epoch", 0), index]))
             img, boxes, labels = self.transform(img, boxes, labels, rng)
         return img, boxes, labels
 

@@ -76,12 +76,15 @@ class VOCDetection:
                      ("2007", "trainval"), ("2012", "trainval")),
                  transform=None,
                  target_transform: Optional[VOCAnnotationTransform] = None,
-                 dataset_name: str = "VOC0712"):
+                 dataset_name: str = "VOC0712",
+                 seed: int = 0):
         self.root = root
         self.image_sets = list(image_sets)
         self.transform = transform
         self.target_transform = target_transform or VOCAnnotationTransform()
         self.name = dataset_name
+        self.seed = seed
+        self.epoch = 0
         self.ids: List[Tuple[str, str]] = []
         for year, setname in self.image_sets:
             base = osp.join(root, "VOC" + year)
@@ -98,13 +101,21 @@ class VOCDetection:
         return (osp.join(base, "JPEGImages", img_id + ".jpg"),
                 osp.join(base, "Annotations", img_id + ".xml"))
 
+    def set_epoch(self, epoch: int) -> None:
+        """Advance the per-sample augmentation RNG stream (see
+        COCODetection.set_epoch — called by the DataLoader each epoch)."""
+        self.epoch = int(epoch)
+
     def __getitem__(self, index: int):
         img_path, ann_path = self._paths(index)
         img = cv2.imread(img_path)  # BGR HWC uint8
         target = self.target_transform(ET.parse(ann_path).getroot())
         boxes, labels = target[:, :4], target[:, 4].astype(np.int32)
         if self.transform is not None:
-            rng = np.random.default_rng()
+            # Deterministic given (seed, epoch, index) — reproducible and
+            # multi-host-consistent, unlike an OS-entropy default_rng().
+            rng = np.random.default_rng(
+                np.random.SeedSequence([self.seed, self.epoch, index]))
             img, boxes, labels = self.transform(img, boxes, labels, rng)
         return img, boxes, labels
 

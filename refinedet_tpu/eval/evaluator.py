@@ -90,9 +90,24 @@ class Evaluator:
         import threading
         size = self.model.size
         q: "queue.Queue" = queue.Queue(maxsize=2)
+        stop = threading.Event()
+
+        def put_or_stop(item) -> bool:
+            # Bounded put polling the stop flag so an abandoned iteration
+            # (exception in the consumer) can't strand this thread on a
+            # full queue.
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def produce():
             for b0 in range(0, n, self.batch_size):
+                if stop.is_set():
+                    return
                 idx = list(range(b0, min(b0 + self.batch_size, n)))
                 imgs = np.zeros((self.batch_size, size, size, 3),
                                 np.float32)
@@ -103,15 +118,19 @@ class Evaluator:
                     imgs[j] = self.transform(raw)
                     h, w = raw.shape[:2]
                     scales[j] = (w, h, w, h)
-                q.put((idx, imgs, scales))
-            q.put(None)
+                if not put_or_stop((idx, imgs, scales)):
+                    return
+            put_or_stop(None)
 
         threading.Thread(target=produce, daemon=True).start()
-        while True:
-            item = q.get()
-            if item is None:
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop.set()
 
     def run(self, variables) -> List[List[np.ndarray]]:
         """Returns all_boxes[class][image] = [N, 5] (x1,y1,x2,y2,score)."""

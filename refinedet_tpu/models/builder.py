@@ -23,9 +23,17 @@ from refinedet_tpu.models.refinedet import RefineDet
 
 
 def anchor_config_for(size: int, num_classes: int) -> AnchorConfig:
-    """Reference rule (refinedet.py:32): VOC config iff num_classes == 21."""
+    """Reference rule (refinedet.py:32): VOC anchor table iff
+    num_classes == 21, else the coco_refinedet table — but with
+    ``num_classes`` set to the requested count, so ``model.cfg`` never
+    contradicts the model (the stock coco table is frozen at 2 for the
+    reference's 1-class SSDD setup)."""
+    import dataclasses
     table = voc_refinedet if num_classes == 21 else coco_refinedet
-    return table[str(size)]
+    cfg = table[str(size)]
+    if cfg.num_classes != num_classes:
+        cfg = dataclasses.replace(cfg, num_classes=num_classes)
+    return cfg
 
 
 class RefineDetModel:

@@ -22,9 +22,18 @@ def constant_init(shape, val: float, bias: float = 0.0):
             "bias": np.full(shape[-1], bias, np.float32)}
 
 
+def _fans(shape):
+    """torch/mmcv fan convention for HWIO kernels: both fans include the
+    receptive-field size (fan_in = I*H*W, fan_out = O*H*W); dense [I, O]
+    kernels degenerate to (I, O)."""
+    receptive = int(np.prod(shape[:-2])) if len(shape) > 2 else 1
+    fan_in = int(shape[-2]) * receptive if len(shape) > 1 else int(shape[0])
+    fan_out = int(shape[-1]) * receptive
+    return fan_in, fan_out
+
+
 def xavier_init(rng, shape, gain: float = 1.0, distribution: str = "normal"):
-    fan_in = int(np.prod(shape[:-1]))
-    fan_out = int(shape[-1])
+    fan_in, fan_out = _fans(shape)
     if distribution == "uniform":
         a = gain * np.sqrt(6.0 / (fan_in + fan_out))
         return rng.uniform(-a, a, shape).astype(np.float32)
@@ -43,8 +52,7 @@ def uniform_init(rng, shape, a: float = 0.0, b: float = 1.0):
 def kaiming_init(rng, shape, a: float = 0.0, mode: str = "fan_out",
                  nonlinearity: str = "relu",
                  distribution: str = "normal"):
-    fan_in = int(np.prod(shape[:-1]))
-    fan_out = int(shape[-1])
+    fan_in, fan_out = _fans(shape)
     fan = fan_out if mode == "fan_out" else fan_in
     gain = np.sqrt(2.0 / (1 + a ** 2)) if nonlinearity == "leaky_relu" \
         else np.sqrt(2.0)

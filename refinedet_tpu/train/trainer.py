@@ -11,7 +11,6 @@ after epoch 200), and resume. The per-step work is one jitted SPMD program
 from __future__ import annotations
 
 import datetime
-import math
 import time
 from typing import Callable, Optional
 
@@ -61,7 +60,15 @@ class Trainer:
                 f"batch_size {train_cfg.batch_size} not divisible by "
                 f"{ndev} data-parallel devices")
 
-        self.epoch_size = math.ceil(len(dataset) / train_cfg.batch_size)
+        self.loader = DataLoader(
+            dataset, train_cfg.batch_size, max_boxes=train_cfg.max_boxes,
+            num_workers=train_cfg.num_workers, shuffle=True,
+            seed=train_cfg.seed)
+        # The loader drops the trailing partial batch (reference does too:
+        # epoch_size = len(dataset) // batch_size, train_refinedet.py:189)
+        # — epoch_size must match the steps the loader actually yields or
+        # LR boundaries / resume math / ETA all drift.
+        self.epoch_size = len(self.loader)
         self.max_iter = train_cfg.max_epoch * self.epoch_size
         self.lr_schedule = make_lr_schedule(
             train_cfg.lr, train_cfg.gamma, self.epoch_size,
@@ -74,10 +81,6 @@ class Trainer:
             model, self.tx, train_cfg, self.mesh,
             on_device_augment=train_cfg.on_device_augment,
             augment_mean=train_cfg.mean)
-        self.loader = DataLoader(
-            dataset, train_cfg.batch_size, max_boxes=train_cfg.max_boxes,
-            num_workers=train_cfg.num_workers, shuffle=True,
-            seed=train_cfg.seed)
         self.ckpt = (CheckpointManager(
             save_folder, f"RefineDet{model.size}_{dataset_name}")
             if save_folder else None)

@@ -53,6 +53,51 @@ def test_augmentation_output_contract(coco_root):
             assert (aboxes[:, 2:] >= aboxes[:, :2] - 1e-6).all()
 
 
+def test_augmentation_varies_across_epochs(coco_root):
+    """set_epoch must re-randomize per-sample draws: the same index in
+    different epochs gets a different augmentation, while the same
+    (seed, epoch, index) stays deterministic."""
+    ds = COCODetection(coco_root, [("sarship", "train")],
+                       SSDAugmentation(size=64, mean=(98.1, 98.1, 98.1)),
+                       seed=7)
+    ds.set_epoch(0)
+    img_e0, _, _ = ds[0]
+    img_e0_again, _, _ = ds[0]
+    np.testing.assert_array_equal(img_e0, img_e0_again)
+    ds.set_epoch(1)
+    img_e1, _, _ = ds[0]
+    assert not np.array_equal(img_e0, img_e1)
+
+
+def test_loader_advances_dataset_epoch(coco_root):
+    ds = COCODetection(coco_root, [("sarship", "train")],
+                       SSDAugmentation(size=64, mean=(98.1, 98.1, 98.1)))
+    loader = DataLoader(ds, batch_size=2, max_boxes=8, num_workers=1,
+                        shuffle=False, seed=0)
+    first = [np.array(b.images) for b in loader]
+    second = [np.array(b.images) for b in loader]
+    assert ds.epoch == 1  # loader called set_epoch(1) for its 2nd pass
+    assert not np.array_equal(first[0], second[0])
+
+
+def test_loader_early_abort_does_not_wedge(coco_root):
+    """Breaking out of an epoch must unblock the producer thread; the
+    next iteration starts cleanly (regression: producer parked forever
+    in a blocking put on a full prefetch queue)."""
+    import threading
+    ds = COCODetection(coco_root, [("sarship", "train")], None)
+    loader = DataLoader(ds, batch_size=1, max_boxes=8, num_workers=1,
+                        shuffle=False, seed=0, prefetch=1)
+    before = threading.active_count()
+    for _ in range(3):
+        for batch in loader:
+            break  # abandon each epoch after one batch
+    import time
+    time.sleep(0.5)  # give stranded producers time to exit
+    assert threading.active_count() <= before + 1
+    assert sum(1 for _ in loader) == len(loader)  # full pass still works
+
+
 def test_base_transform_shape(coco_root):
     ds = COCODetection(coco_root, [("sarship", "train")], None)
     img, _ = ds.pull_image(0)

@@ -55,6 +55,32 @@ def test_plot_map(tmp_path):
     assert out is None or osp.exists(out)
 
 
+def test_init_fans_match_torch_convention():
+    """xavier/kaiming fans include the receptive field (torch semantics):
+    a 3x3 256->512 HWIO kernel has fan_in 2304, fan_out 4608."""
+    import numpy as np
+    from refinedet_tpu.models.initializers import (_fans, kaiming_init,
+                                                   xavier_init)
+    assert _fans((3, 3, 256, 512)) == (3 * 3 * 256, 3 * 3 * 512)
+    assert _fans((256, 512)) == (256, 512)
+    rng = np.random.RandomState(0)
+    k = xavier_init(rng, (3, 3, 256, 512), distribution="uniform")
+    bound = np.sqrt(6.0 / (2304 + 4608))
+    assert abs(k).max() <= bound + 1e-7
+    k = kaiming_init(rng, (3, 3, 64, 64), mode="fan_out",
+                     distribution="uniform")
+    bound = np.sqrt(2.0) * np.sqrt(3.0 / (9 * 64))
+    assert abs(k).max() <= bound + 1e-7
+
+
+def test_anchor_config_num_classes_tracks_request():
+    from refinedet_tpu.models.builder import anchor_config_for
+    assert anchor_config_for(320, 21).num_classes == 21
+    assert anchor_config_for(320, 2).num_classes == 2
+    assert anchor_config_for(320, 81).num_classes == 81
+    assert anchor_config_for(512, 81).num_classes == 81
+
+
 def test_reinit_heads_xavier():
     from refinedet_tpu.models.initializers import reinit_heads_xavier
     params = {
