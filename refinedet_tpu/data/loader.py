@@ -89,19 +89,23 @@ class DataLoader:
             return False
 
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for b in range(n_batches):
-                    if stop.is_set():
-                        return
-                    batch_idx = indices[b * self.batch_size:
-                                        (b + 1) * self.batch_size]
-                    samples = list(pool.map(self.dataset.__getitem__,
-                                            batch_idx))
-                    batch = detection_collate(samples, self.max_boxes)
-                    if self.device_put is not None:
-                        batch = self.device_put(batch)
-                    if not put_or_stop(batch):
-                        return
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for b in range(n_batches):
+                        if stop.is_set():
+                            return
+                        batch_idx = indices[b * self.batch_size:
+                                            (b + 1) * self.batch_size]
+                        samples = list(pool.map(self.dataset.__getitem__,
+                                                batch_idx))
+                        batch = detection_collate(samples, self.max_boxes)
+                        if self.device_put is not None:
+                            batch = self.device_put(batch)
+                        if not put_or_stop(batch):
+                            return
+            except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+                put_or_stop(e)
+                return
             put_or_stop(None)
 
         worker = threading.Thread(target=produce, daemon=True)
@@ -111,6 +115,11 @@ class DataLoader:
                 item = out_q.get()
                 if item is None:
                     break
+                if isinstance(item, BaseException):
+                    # Dataset / collate / device_put failure in the producer
+                    # thread — surface it to the training loop instead of
+                    # hanging on an empty queue.
+                    raise item
                 yield item
         finally:
             stop.set()

@@ -60,10 +60,18 @@ class Trainer:
                 f"batch_size {train_cfg.batch_size} not divisible by "
                 f"{ndev} data-parallel devices")
 
+        # Target validation + device_put both run in the producer thread:
+        # the coordinate guard sees host arrays (no device sync), and
+        # host->device staging overlaps with the previous step's device
+        # compute instead of running serially in the train loop.
+        def stage(batch):
+            self._validate_batch(batch)
+            return shard_batch(self.mesh, batch)
+
         self.loader = DataLoader(
             dataset, train_cfg.batch_size, max_boxes=train_cfg.max_boxes,
             num_workers=train_cfg.num_workers, shuffle=True,
-            seed=train_cfg.seed)
+            seed=train_cfg.seed, device_put=stage)
         # The loader drops the trailing partial batch (reference does too:
         # epoch_size = len(dataset) // batch_size, train_refinedet.py:189)
         # — epoch_size must match the steps the loader actually yields or
@@ -162,9 +170,7 @@ class Trainer:
 
         for epoch in range(start_epoch + 1, end_epoch + 1):
             self._maybe_checkpoint(state, epoch - 1)
-            for batch in self.loader:
-                self._validate_batch(batch)
-                sb = shard_batch(self.mesh, batch)
+            for sb in self.loader:  # already validated + device-staged
                 state, metrics = self.train_step(
                     state, sb.images, sb.boxes, sb.labels, sb.valid)
                 iteration += 1

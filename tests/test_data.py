@@ -98,6 +98,19 @@ def test_loader_early_abort_does_not_wedge(coco_root):
     assert sum(1 for _ in loader) == len(loader)  # full pass still works
 
 
+def test_loader_propagates_producer_errors(coco_root):
+    """A failure inside the producer thread (dataset, collate, device_put)
+    must raise in the consumer, not hang the iteration."""
+    ds = COCODetection(coco_root, [("sarship", "train")], None)
+    loader = DataLoader(ds, batch_size=2, max_boxes=8, num_workers=1,
+                        shuffle=False, seed=0,
+                        device_put=lambda b: (_ for _ in ()).throw(
+                            ValueError("bad targets")))
+    with pytest.raises(ValueError, match="bad targets"):
+        for _ in loader:
+            pass
+
+
 def test_base_transform_shape(coco_root):
     ds = COCODetection(coco_root, [("sarship", "train")], None)
     img, _ = ds.pull_image(0)
