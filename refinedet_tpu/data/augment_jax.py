@@ -255,6 +255,7 @@ def augment_batch(images: jnp.ndarray, boxes: jnp.ndarray,
     normalized, valid [B, M]).
     """
     mean_arr = jnp.asarray(mean, jnp.float32)[::-1]
+    images = images.astype(jnp.float32)  # uint8-staged pixels -> f32
     keys = jax.random.split(key, images.shape[0])
     return jax.vmap(
         lambda i, b, v, k: _augment_one(i, b, v, k, out_size, mean_arr,
@@ -264,7 +265,13 @@ def augment_batch(images: jnp.ndarray, boxes: jnp.ndarray,
 
 class StagingTransform:
     """Host-side stage for the on-device pipeline: squash-resize to the
-    staging canvas, scale boxes, convert BGR->RGB. No randomness."""
+    staging canvas, scale boxes, convert BGR->RGB. No randomness.
+
+    Pixels are staged as uint8 (raw 0-255 scale): 4x less host->device
+    traffic than f32, and integer pixels match the reference pipeline's
+    input distribution (its ConvertFromInts starts from uint8 images).
+    augment_batch converts to f32 on device.
+    """
 
     def __init__(self, staging_size: int):
         self.size = staging_size
@@ -273,8 +280,9 @@ class StagingTransform:
         import cv2
         import numpy as np
         h, w = img.shape[:2]
-        out = cv2.resize(img.astype(np.float32), (self.size, self.size),
+        out = cv2.resize(img, (self.size, self.size),
                          interpolation=cv2.INTER_LINEAR)[:, :, ::-1]
+        out = np.clip(np.rint(out), 0, 255).astype(np.uint8)
         scale = np.array([self.size / w, self.size / h] * 2, np.float32)
         return (np.ascontiguousarray(out),
                 boxes.astype(np.float32) * scale, labels)

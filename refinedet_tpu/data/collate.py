@@ -38,8 +38,15 @@ def pad_targets(boxes: np.ndarray, labels: np.ndarray,
 def detection_collate(samples: Sequence[Tuple[np.ndarray, np.ndarray,
                                               np.ndarray]],
                       max_boxes: int = 60) -> Batch:
-    """Stack (image, boxes, labels) samples into one fixed-shape Batch."""
-    images = np.stack([s[0] for s in samples]).astype(np.float32)
+    """Stack (image, boxes, labels) samples into one fixed-shape Batch.
+
+    Image dtype is preserved: uint8-staged pixels (on-device augmentation
+    path) stay uint8 so the host->device transfer is 4x smaller; float
+    transforms stay float32.
+    """
+    images = np.stack([s[0] for s in samples])
+    if images.dtype != np.uint8:
+        images = images.astype(np.float32)
     bs, ls, vs = [], [], []
     for _, boxes, labels in samples:
         b, l, v = pad_targets(boxes, labels, max_boxes)

@@ -12,6 +12,7 @@ in device memory with the train step's sharding (double-buffering on TPU).
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
@@ -41,7 +42,13 @@ class DataLoader:
         self.dataset = dataset
         self.batch_size = batch_size
         self.max_boxes = max_boxes
-        self.num_workers = max(1, num_workers)
+        # More threads than cores only adds GIL contention to the
+        # numpy-heavy augmentation code — clamp to what the host has.
+        try:
+            cores = len(os.sched_getaffinity(0))
+        except AttributeError:
+            cores = os.cpu_count() or 1
+        self.num_workers = max(1, min(num_workers, cores))
         self.shuffle = shuffle
         self.seed = seed
         self.prefetch = prefetch

@@ -51,6 +51,10 @@ def parse_args():
     p.add_argument("--on_device_augment", action="store_true",
                    help="run the SSD augmentation chain on the TPU, fused "
                         "into the train step (host only stages images)")
+    p.add_argument("--staging_size", default=0, type=int,
+                   help="staging canvas for --on_device_augment (uint8, "
+                        "host->device). Default 2x input_size; lower it "
+                        "to cut transfer volume on thin hosts")
     p.add_argument("--grad_clip", default=0.0, type=float)
     p.add_argument("--spatial_shards", default=1, type=int,
                    help="shard image height over a 'space' mesh axis "
@@ -73,7 +77,7 @@ def main():
     means = C.VOC_MEANS if args.dataset == "VOC" else C.MEANS
     if args.on_device_augment:
         from refinedet_tpu.data.augment_jax import StagingTransform
-        transform = StagingTransform(2 * size)
+        transform = StagingTransform(args.staging_size or 2 * size)
     else:
         transform = SSDAugmentation(size, means)
     if args.dataset == "VOC":
