@@ -181,6 +181,7 @@ class TrainConfig:
     on_device_augment: bool = False  # fuse SSD augmentation into the step
     mean: Tuple[float, float, float] = (104.0, 117.0, 123.0)
     num_workers: int = 8
+    worker_processes: bool = False  # spawn-based workers (vs threads)
     seed: int = 0
     dtype: str = "float32"  # compute dtype for the model ("bfloat16" on TPU)
     spatial_shards: int = 1  # >1: shard image H over a 'space' mesh axis

@@ -12,15 +12,37 @@ in device memory with the train step's sharding (double-buffering on TPU).
 
 from __future__ import annotations
 
+import multiprocessing
 import os
 import queue
 import threading
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from typing import Callable, Iterator, Optional, Sequence
 
 import numpy as np
 
 from refinedet_tpu.data.collate import Batch, detection_collate
+
+# Worker-process state for use_processes=True (reference-style worker
+# processes, torch DataLoader num_workers semantics). The dataset is
+# pickled once per worker via the pool initializer, not per task.
+_WORKER_DATASET = None
+
+
+def _worker_init(dataset, epoch: int) -> None:
+    global _WORKER_DATASET
+    try:
+        import cv2
+        cv2.setNumThreads(0)  # workers are the parallelism unit
+    except ImportError:
+        pass
+    _WORKER_DATASET = dataset
+    if hasattr(dataset, "set_epoch"):
+        dataset.set_epoch(epoch)
+
+
+def _worker_get(i: int):
+    return _WORKER_DATASET[i]
 
 
 class DataLoader:
@@ -35,20 +57,32 @@ class DataLoader:
                  num_workers: int = 8, shuffle: bool = True, seed: int = 0,
                  prefetch: int = 2, drop_last: bool = True,
                  device_put: Optional[Callable[[Batch], Batch]] = None,
-                 shard_id: int = 0, num_shards: int = 1):
+                 shard_id: int = 0, num_shards: int = 1,
+                 use_processes: bool = False):
         """``shard_id``/``num_shards`` give each host a disjoint,
         epoch-consistent slice of the global shuffle for multi-host DP
-        (all hosts must use the same seed)."""
+        (all hosts must use the same seed).
+
+        ``use_processes=True`` runs per-sample work in spawned worker
+        processes (the reference's DataLoader-worker model) instead of
+        threads — the numpy-heavy augmentation is GIL-bound, so threads
+        cannot scale it on any host. Spawn (not fork) is used because the
+        parent typically holds an initialized JAX/TPU backend; the dataset
+        must be picklable (all in-repo datasets are)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.max_boxes = max_boxes
         # More threads than cores only adds GIL contention to the
-        # numpy-heavy augmentation code — clamp to what the host has.
-        try:
-            cores = len(os.sched_getaffinity(0))
-        except AttributeError:
-            cores = os.cpu_count() or 1
-        self.num_workers = max(1, min(num_workers, cores))
+        # numpy-heavy augmentation code — clamp thread workers to what the
+        # host has (process workers are taken as requested).
+        if use_processes:
+            self.num_workers = max(1, num_workers)
+        else:
+            try:
+                cores = len(os.sched_getaffinity(0))
+            except AttributeError:
+                cores = os.cpu_count() or 1
+            self.num_workers = max(1, min(num_workers, cores))
         self.shuffle = shuffle
         self.seed = seed
         self.prefetch = prefetch
@@ -56,6 +90,7 @@ class DataLoader:
         self.device_put = device_put
         self.shard_id = shard_id
         self.num_shards = num_shards
+        self.use_processes = use_processes
         self.epoch = 0
 
     def __len__(self) -> int:
@@ -95,16 +130,27 @@ class DataLoader:
                     continue
             return False
 
+        if self.use_processes and self.num_workers > 1:
+            pool_factory = lambda: ProcessPoolExecutor(  # noqa: E731
+                self.num_workers,
+                mp_context=multiprocessing.get_context("spawn"),
+                initializer=_worker_init,
+                initargs=(self.dataset, self.epoch))
+            getter = _worker_get
+        else:
+            pool_factory = lambda: ThreadPoolExecutor(  # noqa: E731
+                self.num_workers)
+            getter = self.dataset.__getitem__
+
         def produce():
             try:
-                with ThreadPoolExecutor(self.num_workers) as pool:
+                with pool_factory() as pool:
                     for b in range(n_batches):
                         if stop.is_set():
                             return
                         batch_idx = indices[b * self.batch_size:
                                             (b + 1) * self.batch_size]
-                        samples = list(pool.map(self.dataset.__getitem__,
-                                                batch_idx))
+                        samples = list(pool.map(getter, batch_idx))
                         batch = detection_collate(samples, self.max_boxes)
                         if self.device_put is not None:
                             batch = self.device_put(batch)

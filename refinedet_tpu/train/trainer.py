@@ -71,7 +71,8 @@ class Trainer:
         self.loader = DataLoader(
             dataset, train_cfg.batch_size, max_boxes=train_cfg.max_boxes,
             num_workers=train_cfg.num_workers, shuffle=True,
-            seed=train_cfg.seed, device_put=stage)
+            seed=train_cfg.seed, device_put=stage,
+            use_processes=train_cfg.worker_processes)
         # The loader drops the trailing partial batch (reference does too:
         # epoch_size = len(dataset) // batch_size, train_refinedet.py:189)
         # — epoch_size must match the steps the loader actually yields or

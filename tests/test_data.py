@@ -98,6 +98,28 @@ def test_loader_early_abort_does_not_wedge(coco_root):
     assert sum(1 for _ in loader) == len(loader)  # full pass still works
 
 
+def test_loader_process_workers(coco_root):
+    """use_processes=True (reference-style worker processes) yields the
+    same batches as the in-process path — spawn-safe, picklable dataset,
+    per-epoch set_epoch propagated through the worker initializer."""
+    ds = COCODetection(coco_root, [("sarship", "train")],
+                       SSDAugmentation(size=64, mean=(98.1, 98.1, 98.1)),
+                       seed=3)
+    ref = DataLoader(ds, batch_size=2, max_boxes=8, num_workers=1,
+                     shuffle=False, seed=0)
+    ref_batches = [np.array(b.images) for b in ref]
+
+    ds2 = COCODetection(coco_root, [("sarship", "train")],
+                        SSDAugmentation(size=64, mean=(98.1, 98.1, 98.1)),
+                        seed=3)
+    proc = DataLoader(ds2, batch_size=2, max_boxes=8, num_workers=2,
+                      shuffle=False, seed=0, use_processes=True)
+    proc_batches = [np.array(b.images) for b in proc]
+    assert len(ref_batches) == len(proc_batches)
+    for a, b in zip(ref_batches, proc_batches):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_loader_propagates_producer_errors(coco_root):
     """A failure inside the producer thread (dataset, collate, device_put)
     must raise in the consumer, not hang the iteration."""

@@ -34,6 +34,11 @@ def parse_args():
                    help="checkpoint path or epoch number to resume from")
     p.add_argument("--resume_epoch", default=0, type=int)
     p.add_argument("--num_workers", default=8, type=int)
+    p.add_argument("--worker_processes", action="store_true",
+                   help="load/augment in spawned worker processes (the "
+                        "reference's DataLoader-worker model) instead of "
+                        "threads — use on multi-core hosts where the "
+                        "GIL-bound augmentation limits throughput")
     p.add_argument("--lr", "--learning-rate", default=1e-3, type=float)
     p.add_argument("--momentum", default=0.9, type=float)
     p.add_argument("--weight_decay", default=5e-4, type=float)
@@ -98,6 +103,7 @@ def main():
         batch_size=args.batch_size, lr=args.lr, momentum=args.momentum,
         weight_decay=args.weight_decay, gamma=args.gamma,
         max_epoch=args.max_epoch, num_workers=args.num_workers,
+        worker_processes=args.worker_processes,
         seed=args.seed, grad_clip_norm=args.grad_clip,
         on_device_augment=args.on_device_augment, mean=tuple(means),
         spatial_shards=args.spatial_shards)
