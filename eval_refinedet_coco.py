@@ -40,8 +40,10 @@ def parse_args():
     p.add_argument("--batch_size", default=8, type=int)
     p.add_argument("--top_k", default=1000, type=int)
     p.add_argument("--keep_top_k", default=500, type=int)
-    p.add_argument("--nms_top_k", default=300, type=int,
-                   help="static per-class NMS candidate cap on device")
+    p.add_argument("--nms_top_k", default=0, type=int,
+                   help="static per-class pre-NMS candidate cap on device "
+                        "(default 0 = use --top_k, the reference's cap; "
+                        "smaller trades recall for NMS speed)")
     p.add_argument("--confidence_threshold", default=0.01, type=float)
     p.add_argument("--nms_threshold", default=0.49, type=float)
     p.add_argument("--objectness_thre", default=0.01, type=float)

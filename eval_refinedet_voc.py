@@ -35,7 +35,10 @@ def parse_args():
     p.add_argument("--objectness_thre", default=0.01, type=float)
     p.add_argument("--top_k", default=1000, type=int)
     p.add_argument("--nms_top_k", default=300, type=int)
-    p.add_argument("--use_07_metric", default=True, type=bool)
+    p.add_argument("--use_07_metric", default=True,
+                   type=lambda v: v.lower() not in ("0", "false", "no"),
+                   help="11-point VOC2007 AP (true) or every-point AUC AP "
+                        "(false)")
     p.add_argument("--dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])
     return p.parse_args()

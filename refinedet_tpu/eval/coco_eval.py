@@ -78,32 +78,43 @@ class COCOeval:
         self._img_results: Dict = {}
 
     # -- per-image matching -------------------------------------------------
-    def _evaluate_img(self, img_id: int, cat_id: int,
-                      area_rng: Sequence[float], max_det: int):
-        p = self.params
+    def _compute_ious(self, img_id: int, cat_id: int, max_det: int):
+        """Score-sorted capped dets, raw-order gts, and their IoU matrix —
+        computed ONCE per (image, category) and reused across the 4 area
+        ranges (pycocotools caches computeIoU the same way; only the
+        ignore-dependent matching below varies per range)."""
         gts = [g for g in self.cocoGt.img_to_anns[img_id]
                if g["category_id"] == cat_id]
         dts = [d for d in self.cocoDt.img_to_anns[img_id]
                if d["category_id"] == cat_id]
         if not gts and not dts:
             return None
-
-        for g in gts:
-            outside = (g["area"] < area_rng[0] or g["area"] > area_rng[1])
-            g["_ignore"] = 1 if (g.get("ignore", 0) or
-                                 g.get("iscrowd", 0) or outside) else 0
-
-        # non-ignored GTs first (stable), then ignored
-        gt_order = np.argsort([g["_ignore"] for g in gts], kind="stable")
-        gts = [gts[i] for i in gt_order]
-        # detections by descending score, capped
         dt_order = np.argsort([-d["score"] for d in dts], kind="stable")
         dts = [dts[i] for i in dt_order[:max_det]]
-
         gt_boxes = np.array([g["bbox"] for g in gts], float).reshape(-1, 4)
         dt_boxes = np.array([d["bbox"] for d in dts], float).reshape(-1, 4)
         crowd = np.array([g.get("iscrowd", 0) for g in gts], int)
         ious = box_iou_xywh(dt_boxes, gt_boxes, crowd)
+        return gts, dts, dt_boxes, crowd, ious
+
+    def _evaluate_img(self, img_id: int, cat_id: int,
+                      area_rng: Sequence[float], cached):
+        p = self.params
+        if cached is None:
+            return None
+        gts_raw, dts, dt_boxes, crowd_raw, ious_raw = cached
+
+        for g in gts_raw:
+            outside = (g["area"] < area_rng[0] or g["area"] > area_rng[1])
+            g["_ignore"] = 1 if (g.get("ignore", 0) or
+                                 g.get("iscrowd", 0) or outside) else 0
+
+        # non-ignored GTs first (stable), then ignored; permute the cached
+        # IoU columns to match (pycocotools: ious[:, gtind])
+        gt_order = np.argsort([g["_ignore"] for g in gts_raw], kind="stable")
+        gts = [gts_raw[i] for i in gt_order]
+        crowd = crowd_raw[gt_order]
+        ious = ious_raw[:, gt_order] if ious_raw.size else ious_raw
 
         t_n = len(p.iouThrs)
         gt_ig = np.array([g["_ignore"] for g in gts])
@@ -145,10 +156,11 @@ class COCOeval:
         max_det = max(p.maxDets)
         self._img_results = {}
         for cat in p.catIds:
-            for ai, area in enumerate(p.areaRng):
-                for img in p.imgIds:
+            for img in p.imgIds:
+                cached = self._compute_ious(img, cat, max_det)
+                for ai, area in enumerate(p.areaRng):
                     self._img_results[(cat, ai, img)] = self._evaluate_img(
-                        img, cat, area, max_det)
+                        img, cat, area, cached)
 
     # -- accumulation -------------------------------------------------------
     def accumulate(self) -> None:

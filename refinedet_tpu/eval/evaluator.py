@@ -34,19 +34,25 @@ from refinedet_tpu.ops.dispatch import class_parallel_nms
 
 class Evaluator:
     def __init__(self, model, dataset, detect_cfg: DetectConfig,
-                 transform, batch_size: int = 8, nms_top_k: int = 300,
+                 transform, batch_size: int = 8,
+                 nms_top_k: Optional[int] = None,
                  max_per_image: int = 500, plus_one: bool = True,
                  mesh=None,
                  log: Callable[[str], None] = print):
         """``mesh``: optional jax.sharding.Mesh — images shard over the
         'data' axis for multi-chip batched evaluation (params replicated),
-        the eval-side mirror of the training DP layout."""
+        the eval-side mirror of the training DP layout.
+
+        ``nms_top_k`` is the per-class pre-NMS candidate cap; it defaults
+        to ``detect_cfg.top_k`` (1000, the reference's order[:top_k] cap
+        at eval_refinedet_coco.py:222) — pass a smaller value to trade
+        recall for NMS speed."""
         self.model = model
         self.dataset = dataset
         self.cfg = detect_cfg
         self.transform = transform
         self.batch_size = batch_size
-        self.nms_top_k = nms_top_k
+        self.nms_top_k = nms_top_k if nms_top_k else detect_cfg.top_k
         self.max_per_image = max_per_image
         self.plus_one = plus_one
         self.log = log
@@ -105,21 +111,25 @@ class Evaluator:
             return False
 
         def produce():
-            for b0 in range(0, n, self.batch_size):
-                if stop.is_set():
-                    return
-                idx = list(range(b0, min(b0 + self.batch_size, n)))
-                imgs = np.zeros((self.batch_size, size, size, 3),
-                                np.float32)
-                scales = np.ones((self.batch_size, 4), np.float32)
-                for j, i in enumerate(idx):
-                    raw = self.dataset.pull_image(i)
-                    raw = raw[0] if isinstance(raw, tuple) else raw
-                    imgs[j] = self.transform(raw)
-                    h, w = raw.shape[:2]
-                    scales[j] = (w, h, w, h)
-                if not put_or_stop((idx, imgs, scales)):
-                    return
+            try:
+                for b0 in range(0, n, self.batch_size):
+                    if stop.is_set():
+                        return
+                    idx = list(range(b0, min(b0 + self.batch_size, n)))
+                    imgs = np.zeros((self.batch_size, size, size, 3),
+                                    np.float32)
+                    scales = np.ones((self.batch_size, 4), np.float32)
+                    for j, i in enumerate(idx):
+                        raw = self.dataset.pull_image(i)
+                        raw = raw[0] if isinstance(raw, tuple) else raw
+                        imgs[j] = self.transform(raw)
+                        h, w = raw.shape[:2]
+                        scales[j] = (w, h, w, h)
+                    if not put_or_stop((idx, imgs, scales)):
+                        return
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                put_or_stop(e)
+                return
             put_or_stop(None)
 
         threading.Thread(target=produce, daemon=True).start()
@@ -128,6 +138,10 @@ class Evaluator:
                 item = q.get()
                 if item is None:
                     return
+                if isinstance(item, BaseException):
+                    # A corrupt/missing image must fail the sweep loudly,
+                    # not hang it on an empty queue.
+                    raise item
                 yield item
         finally:
             stop.set()

@@ -115,20 +115,35 @@ def soft_nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thresh: float = 0.3,
     iou = iou_pairwise(cand, cand, plus_one=True)
     col = jax.lax.broadcasted_iota(jnp.int32, (k,), 0)
 
-    def body(i, live_scores):
-        # Greedy: current max among remaining (soft-NMS reorders; with
-        # sorted input and monotone decay, index order approximates it).
-        row = iou[i]
+    def body(_, state):
+        # Exact Cython semantics: each round selects the CURRENT max among
+        # the remaining pool (not original-score order — decay reorders),
+        # decays the rest of the pool against it, and permanently discards
+        # pool boxes whose decayed score drops below score_thresh.
+        live_scores, processed, dead = state
+        in_pool = jnp.logical_not(jnp.logical_or(processed, dead))
+        pool_scores = jnp.where(in_pool, live_scores, -jnp.inf)
+        cur = jnp.argmax(pool_scores)
+        # Only boxes above score_thresh get a turn (the Cython loop breaks
+        # once the remaining max drops to <= score_thresh).
+        has = pool_scores[cur] > score_thresh
+        row = iou[cur]
         if method == "linear":
             decay = jnp.where(row > iou_thresh, 1.0 - row, 1.0)
         elif method == "gaussian":
             decay = jnp.exp(-(row * row) / sigma)
         else:  # hard
             decay = jnp.where(row > iou_thresh, 0.0, 1.0)
-        i_alive = live_scores[i] > score_thresh
-        later = col > i  # only not-yet-processed boxes decay
-        factor = jnp.where(jnp.logical_and(later, i_alive), decay, 1.0)
-        return live_scores * factor
+        others = jnp.logical_and(in_pool, col != cur)
+        do = jnp.logical_and(others, has)
+        new_scores = jnp.where(do, live_scores * decay, live_scores)
+        newly_dead = jnp.logical_and(do, new_scores < score_thresh)
+        processed = jnp.logical_or(processed,
+                                   jnp.logical_and(has, col == cur))
+        dead = jnp.logical_or(dead, newly_dead)
+        return new_scores, processed, dead
 
-    final = jax.lax.fori_loop(0, k, body, top_scores)
-    return NmsResult(top_idx, final > score_thresh, final)
+    zeros = jnp.zeros((k,), bool)
+    final, processed, _ = jax.lax.fori_loop(
+        0, k, body, (top_scores, zeros, zeros))
+    return NmsResult(top_idx, processed, final)

@@ -30,13 +30,21 @@ def _load_lib() -> Optional[ctypes.CDLL]:
     if _lib is not None or _lib_tried:
         return _lib
     _lib_tried = True
-    if not osp.exists(_LIB_PATH):
+    src = osp.join(osp.dirname(_LIB_PATH), "nms.cpp")
+    stale = (not osp.exists(_LIB_PATH)
+             or (osp.exists(src)
+                 and osp.getmtime(src) > osp.getmtime(_LIB_PATH)))
+    if stale:
+        # (Re)build when missing OR older than the source — a stale .so
+        # would silently run the old kernel. The binary is a local,
+        # uncommitted artifact (build.sh uses -march=native).
         build = osp.join(osp.dirname(_LIB_PATH), "build.sh")
         try:
             subprocess.run(["bash", build], check=True,
                            capture_output=True, timeout=120)
         except Exception:
-            return None
+            if not osp.exists(_LIB_PATH):
+                return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
         lib.nms_hard.restype = ctypes.c_int
@@ -105,6 +113,7 @@ def soft_nms(dets: np.ndarray, iou_thresh: float = 0.3, sigma: float = 0.5,
              score_thresh: float = 0.001, method: str = "linear") -> list:
     """Soft-NMS (cpu_nms.pyx:70-163 semantics). Rescores ``dets`` in place
     and returns surviving indices."""
+    caller_dets = dets
     dets = np.ascontiguousarray(dets, np.float32)
     if dets.shape[0] == 0:
         return []
@@ -120,4 +129,9 @@ def soft_nms(dets: np.ndarray, iou_thresh: float = 0.3, sigma: float = 0.5,
         dets.shape[0], ctypes.c_float(iou_thresh), ctypes.c_float(sigma),
         ctypes.c_float(score_thresh), m,
         keep.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+    if caller_dets is not dets:
+        # ascontiguousarray copied (non-contiguous or non-f32 input):
+        # write the rescored/reordered rows back so the documented
+        # in-place semantics hold for any input dtype/layout.
+        caller_dets[...] = dets
     return keep[:count].tolist()

@@ -133,7 +133,12 @@ def nms_pallas(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thresh: float,
                              constant_values=-jnp.inf)
         top_idx = jnp.pad(top_idx, ((0, 0), (0, pad)))
     cand = jnp.take_along_axis(flat_boxes, top_idx[..., None], axis=1)
-    valid = top_scores > score_thresh
+    # Ranks >= top_k exist only to pad the kernel width to a lane
+    # multiple — mark them invalid so they can neither suppress nor be
+    # kept, keeping the candidate set identical to the XLA/CPU backend's
+    # exact top_k (backend-divergent detections otherwise).
+    valid = jnp.logical_and(top_scores > score_thresh,
+                            jnp.arange(k) < top_k)
     keep = nms_sweep_pallas(cand, valid, iou_thresh, plus_one=plus_one,
                             interpret=interpret)
     return NmsResult(top_idx.reshape(*lead, k), keep.reshape(*lead, k),

@@ -70,6 +70,40 @@ def test_batched_nms_classes_independent(rng):
                                       np.asarray(single.keep))
 
 
+def test_soft_nms_matches_native_cython_semantics(rng):
+    """XLA soft-NMS == native C++ (Cython-equivalent) on random boxes:
+    same kept-box set and same rescored scores — the selection must be
+    current-max order, not original-score order."""
+    from refinedet_tpu.ops import nms_native
+    if nms_native._load_lib() is None:
+        pytest.skip("native NMS library unavailable")
+    import jax.numpy as jnp
+    for trial in range(5):
+        r = np.random.RandomState(trial)
+        n = 40
+        xy = r.uniform(0, 80, (n, 2)).astype(np.float32)
+        wh = r.uniform(10, 60, (n, 2)).astype(np.float32)
+        boxes = np.hstack([xy, xy + wh]).astype(np.float32)
+        scores = r.uniform(0.05, 1.0, n).astype(np.float32)
+
+        res = soft_nms(jnp.asarray(boxes), jnp.asarray(scores),
+                       iou_thresh=0.3, score_thresh=0.2, method="linear",
+                       top_k=n)
+        kept_idx = np.asarray(res.indices)[np.asarray(res.keep)]
+        ours = {tuple(boxes[i]): float(np.asarray(res.scores)[j])
+                for j, i in zip(np.nonzero(np.asarray(res.keep))[0],
+                                kept_idx)}
+
+        dets = np.hstack([boxes, scores[:, None]]).astype(np.float32)
+        keep_nat = nms_native.soft_nms(dets, iou_thresh=0.3,
+                                       score_thresh=0.2, method="linear")
+        theirs = {tuple(dets[i, :4]): float(dets[i, 4]) for i in keep_nat}
+
+        assert set(ours) == set(theirs), f"trial {trial}: keep sets differ"
+        for k in ours:
+            np.testing.assert_allclose(ours[k], theirs[k], rtol=1e-5)
+
+
 def test_soft_nms_decays_overlapping(rng):
     # Two heavily overlapping boxes: the weaker one's score decays.
     boxes = np.array([[10, 10, 100, 100], [12, 12, 102, 102],
