@@ -49,7 +49,43 @@ def parse_args():
     p.add_argument("--objectness_thre", default=0.01, type=float)
     p.add_argument("--dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--show_image", action="store_true",
+                   help="write per-image PNGs with GT (green) vs "
+                        "detections >= --vis_thres (red) to "
+                        "<save_folder>/images (reference "
+                        "eval_refinedet_coco.py:182-198,236-256)")
+    p.add_argument("--vis_thres", default=0.3, type=float)
     return p.parse_args()
+
+
+def draw_detections(dataset, all_boxes, out_dir, vis_thres=0.3):
+    """GT (green) vs detections (red) overlays, one PNG per image."""
+    import cv2
+    os.makedirs(out_dir, exist_ok=True)
+
+    def clip_pts(vals, h, w):
+        # clip before int(): degenerate detections can decode to values
+        # beyond C-int range, which cv2 rejects
+        x1, y1, x2, y2 = (float(np.nan_to_num(v)) for v in vals)
+        return (int(np.clip(x1, 0, w - 1)), int(np.clip(y1, 0, h - 1)),
+                int(np.clip(x2, 0, w - 1)), int(np.clip(y2, 0, h - 1)))
+
+    for i in range(len(dataset)):
+        img, gt = dataset.pull_image(i)
+        img = img.copy()
+        h, w = img.shape[:2]
+        for row in gt:
+            x1, y1, x2, y2 = clip_pts(row[:4], h, w)
+            cv2.rectangle(img, (x1, y1), (x2, y2), (0, 255, 0), 1)
+        for cls_dets in all_boxes[1:]:
+            for det in cls_dets[i]:
+                if det[4] < vis_thres:
+                    continue
+                x1, y1, x2, y2 = clip_pts(det[:4], h, w)
+                cv2.rectangle(img, (x1, y1), (x2, y2), (0, 0, 255), 1)
+                cv2.putText(img, f"{det[4]:.2f}", (x1, max(y1 - 3, 10)),
+                            cv2.FONT_HERSHEY_SIMPLEX, 0.35, (0, 0, 255), 1)
+        cv2.imwrite(osp.join(out_dir, f"{i:06d}.png"), img)
 
 
 def make_loader(model, trainer_template=None):
@@ -123,6 +159,10 @@ def main():
         variables = load_fn(args.trained_model)
         print("Finished loading model!")
         all_boxes = evaluator.run(variables)
+        if args.show_image:
+            draw_detections(dataset, all_boxes,
+                            osp.join(save_folder, "images"),
+                            args.vis_thres)
         print("Evaluating detections")
         stats = dataset.evaluate_detections(all_boxes, save_folder)
         print("AP stats:", np.round(stats[:6], 4))
