@@ -122,6 +122,12 @@ def random_sample_crop(img, boxes, labels, rng, max_trials: int = 50):
         mode = _CROP_MODES[rng.integers(len(_CROP_MODES))]
         if mode is None:
             return img, boxes, labels
+        if boxes.shape[0] == 0:
+            # No GT (e.g. all-difficult VOC images, annotation-free COCO
+            # images): the IoU/center constraints are vacuous and
+            # overlap.min() on an empty array would crash — any crop is
+            # acceptable, keep the image whole.
+            return img, boxes, labels
         min_iou = -np.inf if mode[0] is None else mode[0]
         max_iou = np.inf if mode[1] is None else mode[1]
 

@@ -137,6 +137,11 @@ def refinedet_multibox_loss(
         loc_data, conf_data = odm_loc, odm_conf
     else:
         loc_data, conf_data = arm_loc, arm_conf
+    if conf_data.shape[-1] != num_classes:
+        raise ValueError(
+            f"num_classes={num_classes} does not match the "
+            f"{'ODM' if use_arm else 'ARM'} logits' class dim "
+            f"{conf_data.shape[-1]}")
 
     if use_arm:
         loc_t, conf_t = refine_match_batch(

@@ -66,7 +66,15 @@ def _as_numpy(state: Mapping) -> Dict[str, np.ndarray]:
 
 def torch_state_dict_to_flax(state: Mapping, num_sources: int = 4
                              ) -> Dict[str, dict]:
-    """Convert a full RefineDet torch state_dict to a flax params dict."""
+    """Convert a full RefineDet torch state_dict to a flax params dict.
+
+    Channel order: NO BGR<->RGB flip is applied to conv1_1 — deliberately.
+    The reference trains and evaluates on RGB (its loaders convert after
+    the transform: voc0712.py:135, sarship_coco.py:199), so reference
+    checkpoints expect RGB inputs, exactly what this framework's
+    transforms produce. (This inherits ssd.pytorch's quirk of feeding RGB
+    to the Caffe-lineage vgg16_reducedfc backbone; parity means
+    reproducing it.)"""
     state = _strip_module_prefix(_as_numpy(state))
     params: Dict[str, dict] = {}
 

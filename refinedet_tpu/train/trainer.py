@@ -68,11 +68,16 @@ class Trainer:
             self._validate_batch(batch)
             return shard_batch(self.mesh, batch)
 
+        # Multi-host: each process loads a disjoint shard (the loaders'
+        # shuffles stay epoch-consistent because all hosts share the seed).
+        from refinedet_tpu.parallel import distributed
         self.loader = DataLoader(
             dataset, train_cfg.batch_size, max_boxes=train_cfg.max_boxes,
             num_workers=train_cfg.num_workers, shuffle=True,
             seed=train_cfg.seed, device_put=stage,
-            use_processes=train_cfg.worker_processes)
+            use_processes=train_cfg.worker_processes,
+            shard_id=distributed.process_index(),
+            num_shards=distributed.process_count())
         # The loader drops the trailing partial batch (reference does too:
         # epoch_size = len(dataset) // batch_size, train_refinedet.py:189)
         # — epoch_size must match the steps the loader actually yields or
@@ -134,6 +139,9 @@ class Trainer:
                         (start_epoch + max_epochs) if max_epochs
                         else self.cfg.max_epoch)
         iteration = start_epoch * self.epoch_size
+        # A resumed run must continue the shuffle/augmentation stream, not
+        # replay epoch 0's draws.
+        self.loader.epoch = start_epoch
         # Metrics are logged one step DELAYED: device_get on the step just
         # dispatched would block the host on the whole device program and
         # serialize staging with compute. By fetching step i's metrics only
@@ -187,6 +195,9 @@ class Trainer:
                 self.live_plotter.end_epoch(epoch)
         if pending is not None:
             flush(pending)
+        # The last epoch's numbered checkpoint (the cadence check at the
+        # top of each epoch only covers epoch-1), then the 'final' alias.
+        self._maybe_checkpoint(state, end_epoch)
         if self.ckpt is not None:
             self.ckpt.save(state, "final")
         return state

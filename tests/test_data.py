@@ -98,6 +98,21 @@ def test_loader_early_abort_does_not_wedge(coco_root):
     assert sum(1 for _ in loader) == len(loader)  # full pass still works
 
 
+def test_augmentation_handles_empty_gt():
+    """Images with zero GT boxes (all-difficult VOC, annotation-free COCO)
+    must pass through the full augmentation chain without crashing."""
+    aug = SSDAugmentation(size=64, mean=(98.1, 98.1, 98.1))
+    img = np.random.RandomState(0).randint(
+        0, 255, (96, 96, 3)).astype(np.uint8)
+    empty_boxes = np.zeros((0, 4), np.float32)
+    empty_labels = np.zeros((0,), np.int32)
+    for seed in range(10):  # cover every crop mode draw
+        rng = np.random.default_rng(seed)
+        aimg, aboxes, alabels = aug(img, empty_boxes, empty_labels, rng)
+        assert aimg.shape == (64, 64, 3)
+        assert aboxes.shape == (0, 4) and alabels.shape == (0,)
+
+
 def test_loader_process_workers(coco_root):
     """use_processes=True (reference-style worker processes) yields the
     same batches as the in-process path — spawn-safe, picklable dataset,

@@ -62,3 +62,19 @@ def test_trainer_loop_logs_every_iter_and_checkpoints(tiny_coco, tmp_path):
     # final checkpoint written
     final_dirs = [d for d in os.listdir(save) if "final" in d]
     assert final_dirs, os.listdir(save)
+
+
+def test_trainer_resume_advances_augmentation_stream(tiny_coco, tmp_path):
+    """A run resumed at epoch k must continue the (seed, epoch) shuffle/
+    augmentation stream from k, not replay epoch 0's draws."""
+    dataset = COCODetection(tiny_coco, [("sarship", "train")],
+                            SSDAugmentation(320, (104, 117, 123)))
+    cfg = TrainConfig(batch_size=2, max_boxes=8, lr=1e-5, max_epoch=5,
+                      num_workers=0)
+    trainer = Trainer(build_refinedet("train", 320, 2), dataset, cfg,
+                      num_devices=2, log_fn=lambda s: None)
+    state = trainer.init_state()
+    trainer.train(state, start_epoch=3, max_epochs=1)
+    # the loader ran exactly one epoch, starting from the resume epoch
+    assert dataset.epoch == 3
+    assert trainer.loader.epoch == 4

@@ -24,7 +24,9 @@ def parse_args():
     p = argparse.ArgumentParser(
         description="RefineDet training (TPU-native JAX)")
     p.add_argument("--dataset", default="COCO", choices=["VOC", "COCO"])
-    p.add_argument("--input_size", default="512", choices=["320", "512"])
+    p.add_argument("--input_size", default="512",
+                   choices=["320", "512", "896"],
+                   help="896 is the five-source large-input variant")
     p.add_argument("--dataset_root", default=None,
                    help="VOCdevkit or SSDD_coco root")
     p.add_argument("--basenet", default=None,
@@ -87,7 +89,7 @@ def main():
         transform = SSDAugmentation(size, means)
     if args.dataset == "VOC":
         root = args.dataset_root or C.VOC_ROOT
-        dataset = VOCDetection(root, transform=transform)
+        dataset = VOCDetection(root, transform=transform, seed=args.seed)
         num_classes = 21
     else:
         root = args.dataset_root or C.COCOroot
