@@ -47,7 +47,24 @@ def main():
         variables = make_loader(model)(args.trained_model)
     else:
         variables = model.init(jax.random.PRNGKey(0))
-    fn = model.jit_apply()
+
+    from refinedet_tpu.config import DetectConfig
+    from refinedet_tpu.detect import detect_refinedet_nms
+
+    cfg = DetectConfig(num_classes=args.num_classes, top_k=200,
+                       keep_top_k=200, conf_thresh=0.01, nms_thresh=0.45)
+
+    @jax.jit
+    def fn(variables, x):
+        # Full detect path incl. per-class NMS ([1, C, K, 5] rows of
+        # (score, x1, y1, x2, y2)) — drawing raw per-prior scores would
+        # cover the frame in duplicate boxes.
+        arm_loc, arm_conf, odm_loc, odm_conf = model.raw_forward(
+            variables, x)
+        return detect_refinedet_nms(
+            arm_loc, jax.nn.softmax(arm_conf, -1), odm_loc,
+            jax.nn.softmax(odm_conf, -1), model.priors, cfg)
+
     transform = BaseTransform(size, C.VOC_MEANS)
 
     cap = cv2.VideoCapture(args.camera)
@@ -61,12 +78,14 @@ def main():
         if not ok:
             break
         h, w = frame.shape[:2]
-        boxes, scores = fn(variables, jnp.asarray(transform(frame)[None]))
-        boxes = np.asarray(boxes[0]) * [w, h, w, h]
-        scores = np.asarray(scores[0])
+        dets = np.asarray(fn(variables,
+                             jnp.asarray(transform(frame)[None])))[0]
         for cl in range(1, args.num_classes):
-            for i in np.where(scores[:, cl] >= args.threshold)[0]:
-                x1, y1, x2, y2 = (int(v) for v in np.clip(boxes[i], -10_000, 10_000))
+            for row in dets[cl]:
+                if row[0] < args.threshold:
+                    break  # rows are score-descending, zero-padded
+                px = np.clip(row[1:] * [w, h, w, h], -10_000, 10_000)
+                x1, y1, x2, y2 = (int(v) for v in px)
                 cv2.rectangle(frame, (x1, y1), (x2, y2), (0, 0, 255), 2)
                 cv2.putText(frame, VOC_CLASSES[cl - 1], (x1, y1),
                             cv2.FONT_HERSHEY_DUPLEX, 0.5, (0, 0, 255))

@@ -12,7 +12,6 @@ is the working equivalent of its intended path).
 import argparse
 import os.path as osp
 
-import numpy as np
 
 from refinedet_tpu import config as C
 from refinedet_tpu.config import DetectConfig

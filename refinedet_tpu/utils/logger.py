@@ -39,6 +39,11 @@ class Logger:
         self.console.write(msg)
         if self.file is not None:
             self.file.write(msg)
+            # flush+fsync per write so the tail of a killed/preempted run
+            # reaches disk (reference utils/logger.py:9-39 does the same;
+            # log lines are ~per-iteration, so the syscall cost is noise).
+            self.file.flush()
+            os.fsync(self.file.fileno())
 
     def flush(self) -> None:
         self.console.flush()

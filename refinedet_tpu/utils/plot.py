@@ -60,9 +60,14 @@ def plot_loss(log_path: str, out_path: str = "loss_curve.png",
     for key in ("arm_loss_l", "arm_loss_c", "odm_loss_l", "odm_loss_c",
                 "loss"):
         y = s[key]
+        x = s["iter"]
         if smooth > 1 and len(y) >= smooth:
             y = np.convolve(y, np.ones(smooth) / smooth, mode="valid")
-        ax.plot(s["iter"][:len(y)], y, label=key)
+            # trailing-window alignment: point i = mean of the smooth
+            # iterations ENDING at x[i] (plotting against the leading
+            # iterations would shift LR-step drops smooth-1 iters early)
+            x = x[smooth - 1:]
+        ax.plot(x, y, label=key)
     ax.set_xlabel("iteration")
     ax.set_ylabel("loss")
     ax.legend()

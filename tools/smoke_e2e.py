@@ -14,7 +14,6 @@ from refinedet_tpu.data.collate import detection_collate
 
 root = tempfile.mkdtemp()
 make_coco_dataset(root, num_images=16, img_size=160, seed=3)
-make_coco_dataset(root, split="test", num_images=16, img_size=160, seed=3)  # same distribution
 ds = COCODetection(root, [("sarship", "train")], None)
 MEAN = (98.13131,)*3
 bt = BaseTransform(320, MEAN)
