@@ -131,6 +131,32 @@ class Trainer:
                 f"target coords outside [0, 1]: min {coords.min():.4f} "
                 f"max {coords.max():.4f} — dataset/transform mismatch?")
 
+    def _install_preemption_handler(self):
+        """SIGTERM/SIGINT set a flag; the epoch loop checkpoints and exits
+        cleanly at the next step boundary. The reference has no failure
+        story (SURVEY.md §5.3) — on preemptible TPU pools this turns a
+        kill into a resumable '<prefix>_epoches_preempt_e<N>' checkpoint.
+        Returns a restore-fn for the previous handlers."""
+        import signal
+
+        self._preempted = False
+        prev = {}
+
+        def mark(signum, frame):
+            self._preempted = True
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                prev[sig] = signal.signal(sig, mark)
+            except ValueError:  # not the main thread — skip
+                return lambda: None
+
+        def restore():
+            for sig, h in prev.items():
+                signal.signal(sig, h)
+
+        return restore
+
     def train(self, state: Optional[TrainState] = None,
               start_epoch: int = 0,
               max_epochs: Optional[int] = None) -> TrainState:
@@ -177,9 +203,12 @@ class Trainer:
             if self.live_plotter is not None:
                 self.live_plotter.update(it, metrics)
 
+        restore_signals = self._install_preemption_handler()
         for epoch in range(start_epoch + 1, end_epoch + 1):
             self._maybe_checkpoint(state, epoch - 1)
             for sb in self.loader:  # already validated + device-staged
+                if self._preempted:
+                    break
                 state, metrics = self.train_step(
                     state, sb.images, sb.boxes, sb.labels, sb.valid)
                 iteration += 1
@@ -193,8 +222,18 @@ class Trainer:
                     flush(pending)
                     pending = None
                 self.live_plotter.end_epoch(epoch)
+            if self._preempted:
+                if pending is not None:
+                    flush(pending)
+                    pending = None
+                if self.ckpt is not None:
+                    path = self.ckpt.save(state, f"preempt_e{epoch}")
+                    self.log(f"preemption signal: checkpointed to {path}")
+                restore_signals()
+                return state
         if pending is not None:
             flush(pending)
+        restore_signals()
         # The last epoch's numbered checkpoint (the cadence check at the
         # top of each epoch only covers epoch-1), then the 'final' alias.
         self._maybe_checkpoint(state, end_epoch)

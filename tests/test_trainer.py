@@ -64,6 +64,39 @@ def test_trainer_loop_logs_every_iter_and_checkpoints(tiny_coco, tmp_path):
     assert final_dirs, os.listdir(save)
 
 
+def test_trainer_preemption_checkpoints_and_exits(tiny_coco, tmp_path):
+    """A preemption signal mid-training checkpoints the live state under
+    a 'preempt_eN' tag and returns cleanly instead of losing the epoch."""
+    dataset = COCODetection(tiny_coco, [("sarship", "train")],
+                            SSDAugmentation(320, (104, 117, 123)))
+    cfg = TrainConfig(batch_size=2, max_boxes=8, lr=1e-5, max_epoch=50,
+                      num_workers=0)
+    save = str(tmp_path / "w")
+    lines = []
+    trainer = Trainer(build_refinedet("train", 320, 2), dataset, cfg,
+                      save_folder=save, num_devices=2, log_fn=lines.append)
+
+    fired = {"done": False}
+    real_step = trainer.train_step
+
+    def step_then_preempt(*a):
+        out = real_step(*a)
+        if not fired["done"]:
+            import os as _os
+            import signal as _sig
+            fired["done"] = True
+            _os.kill(_os.getpid(), _sig.SIGTERM)  # delivered in-process
+        return out
+
+    trainer.train_step = step_then_preempt
+    state = trainer.train()
+    # stopped long before max_epoch, with a preempt-tagged checkpoint
+    assert int(np.asarray(state.step)) < 50 * trainer.epoch_size
+    tags = [d for d in os.listdir(save) if "preempt_e" in d]
+    assert tags, os.listdir(save)
+    assert not [d for d in os.listdir(save) if d.endswith("_final")]
+
+
 def test_trainer_resume_advances_augmentation_stream(tiny_coco, tmp_path):
     """A run resumed at epoch k must continue the (seed, epoch) shuffle/
     augmentation stream from k, not replay epoch 0's draws."""
