@@ -58,3 +58,46 @@ def make_coco_dataset(root, name="sarship", split="train", num_images=4,
     with open(osp.join(ann_dir, f"instances_{coco_name}.json"), "w") as f:
         json.dump(dataset, f)
     return dataset
+
+
+def make_voc_dataset(root, year="2007", image_set="trainval",
+                     num_images=4, img_size=96, seed=0,
+                     classes=("aeroplane", "bicycle")):
+    """Write a tiny VOCdevkit tree (JPEGImages + XML Annotations +
+    ImageSets/Main list) with bright-rectangle objects."""
+    rng = np.random.RandomState(seed)
+    base = osp.join(root, "VOC" + year)
+    for sub in ("JPEGImages", "Annotations",
+                osp.join("ImageSets", "Main")):
+        os.makedirs(osp.join(base, sub), exist_ok=True)
+    ids = []
+    for i in range(num_images):
+        img_id = f"{i:06d}"
+        ids.append(img_id)
+        img = rng.randint(0, 80, (img_size, img_size, 3)).astype(np.uint8)
+        objs = []
+        for _ in range(rng.randint(1, 3)):
+            w = rng.randint(14, img_size // 2)
+            h = rng.randint(14, img_size // 2)
+            x = rng.randint(0, img_size - w)
+            y = rng.randint(0, img_size - h)
+            img[y:y + h, x:x + w] = 220
+            name = classes[rng.randint(len(classes))]
+            # VOC XML is 1-based inclusive
+            objs.append(
+                f"<object><name>{name}</name><difficult>0</difficult>"
+                f"<bndbox><xmin>{x + 1}</xmin><ymin>{y + 1}</ymin>"
+                f"<xmax>{x + w}</xmax><ymax>{y + h}</ymax></bndbox>"
+                f"</object>")
+        cv2.imwrite(osp.join(base, "JPEGImages", img_id + ".jpg"), img)
+        xml = (f"<annotation><filename>{img_id}.jpg</filename>"
+               f"<size><width>{img_size}</width>"
+               f"<height>{img_size}</height><depth>3</depth></size>"
+               + "".join(objs) + "</annotation>")
+        with open(osp.join(base, "Annotations", img_id + ".xml"),
+                  "w") as f:
+            f.write(xml)
+    with open(osp.join(base, "ImageSets", "Main",
+                       image_set + ".txt"), "w") as f:
+        f.write("\n".join(ids) + "\n")
+    return ids

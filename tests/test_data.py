@@ -3,7 +3,7 @@ import pytest
 
 from refinedet_tpu.data import (BaseTransform, COCODetection, DataLoader,
                                 SSDAugmentation, detection_collate)
-from data_fixtures import make_coco_dataset
+from data_fixtures import make_coco_dataset, make_voc_dataset
 
 
 @pytest.fixture(scope="module")
@@ -51,6 +51,24 @@ def test_augmentation_output_contract(coco_root):
             # normalized point-form, well-ordered boxes
             assert aboxes.min() >= -1e-5 and aboxes.max() <= 1 + 1e-5
             assert (aboxes[:, 2:] >= aboxes[:, :2] - 1e-6).all()
+
+
+def test_voc_dataset_roundtrip(tmp_path):
+    """Synthetic VOCdevkit tree parses back: 0-based absolute coords,
+    1-based labels, raw accessors consistent."""
+    from refinedet_tpu.data import VOCDetection
+    root = str(tmp_path)
+    make_voc_dataset(root, num_images=3, img_size=96)
+    ds = VOCDetection(root, [("2007", "trainval")], None)
+    assert len(ds) == 3
+    img, boxes, labels = ds[0]
+    assert img.shape == (96, 96, 3)
+    assert boxes.shape[1] == 4 and boxes.shape[0] >= 1
+    assert boxes.min() >= 0 and boxes.max() <= 95
+    assert labels.min() >= 1 and labels.max() <= 20
+    ids, anno = ds.pull_anno(0)
+    np.testing.assert_array_equal(np.asarray(anno)[:, :4], boxes)
+    assert ds.pull_image(0).shape == (96, 96, 3)
 
 
 def test_augmentation_varies_across_epochs(coco_root):
