@@ -13,6 +13,14 @@ trigger env var cleared to get a genuine multi-device CPU platform.
 import os
 import sys
 
+# XLA CPU aborts the whole process if a collective participant doesn't
+# reach the rendezvous within ~30s; on this 1-core host an 8-way SPMD train
+# step can legitimately take minutes, so raise the termination timeout.
+_MESH_FLAGS = (
+    " --xla_force_host_platform_device_count=8"
+    " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+    " --xla_cpu_collective_call_terminate_timeout_seconds=1800")
+
 if os.environ.get("PALLAS_AXON_POOL_IPS"):
     import subprocess
     env = dict(os.environ)
@@ -20,16 +28,14 @@ if os.environ.get("PALLAS_AXON_POOL_IPS"):
     env["JAX_PLATFORMS"] = "cpu"
     flags = env.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
-        env["XLA_FLAGS"] = (
-            flags + " --xla_force_host_platform_device_count=8").strip()
+        env["XLA_FLAGS"] = (flags + _MESH_FLAGS).strip()
     raise SystemExit(subprocess.run(
         [sys.executable, "-m", "pytest"] + sys.argv[1:], env=env).returncode)
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8").strip()
+    os.environ["XLA_FLAGS"] = (_flags + _MESH_FLAGS).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
