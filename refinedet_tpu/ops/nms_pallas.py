@@ -37,9 +37,10 @@ from refinedet_tpu.ops.nms import NmsResult
 LANE = 128  # candidate count must be a multiple of the lane width
 
 
-def _nms_sweep_kernel(boxes_ref, valid_ref, keep_ref, *,
+def _nms_sweep_kernel(count_ref, boxes_ref, valid_ref, keep_ref, *,
                       iou_thresh: float, plus_one: float, k: int):
-    """Grid = (G,). boxes [K, 4], valid [1, K] -> keep [1, K]."""
+    """Grid = (G,). count [G] (whole array in SMEM, indexed by program_id),
+    boxes [K, 4], valid [1, K] -> keep [1, K]."""
     ax1 = boxes_ref[:, 0:1].reshape(1, k)
     ay1 = boxes_ref[:, 1:2].reshape(1, k)
     ax2 = boxes_ref[:, 2:3].reshape(1, k)
@@ -51,15 +52,32 @@ def _nms_sweep_kernel(boxes_ref, valid_ref, keep_ref, *,
     def pick(vec, mask):
         return jnp.sum(jnp.where(mask, vec, 0.0))
 
-    def row_body(g, sup):
+    # The sweep visits only SURVIVING rows: after each kept box g it jumps
+    # straight to the next valid, unsuppressed candidate (suppressed rows
+    # cannot suppress others in greedy NMS, so skipping them is exact).
+    # Iterations = #kept boxes, not #candidates; with the per-group bound
+    # from count_ref (last valid index + 1, computed by the caller) the
+    # whole sweep is O(#kept) rows of [1, K] vector work instead of the
+    # reference CUDA kernel's dense O(K^2/64) bitmask.
+    n_rows = count_ref[pl.program_id(0)]
+
+    def next_active(g_prev, sup):
+        open_ = jnp.logical_and(sup == 0.0, valid != 0.0)
+        open_ = jnp.logical_and(open_, col > g_prev)
+        return jnp.min(jnp.where(open_, col, k)).astype(jnp.int32)
+
+    def cond(carry):
+        g, _ = carry
+        return g < n_rows
+
+    def body(carry):
+        g, sup = carry
         m = col == g
         x1g = pick(ax1, m)
         y1g = pick(ay1, m)
         x2g = pick(ax2, m)
         y2g = pick(ay2, m)
         area_g = (x2g - x1g + plus_one) * (y2g - y1g + plus_one)
-        active = jnp.logical_and(pick(sup, m) == 0.0,
-                                 pick(valid, m) != 0.0)
         iw = jnp.maximum(jnp.minimum(x2g, ax2) - jnp.maximum(x1g, ax1)
                          + plus_one, 0.0)
         ih = jnp.maximum(jnp.minimum(y2g, ay2) - jnp.maximum(y1g, ay1)
@@ -67,9 +85,12 @@ def _nms_sweep_kernel(boxes_ref, valid_ref, keep_ref, *,
         inter = iw * ih
         iou = inter / (area_g + area - inter)
         hits = jnp.logical_and(iou > iou_thresh, col > g)
-        return jnp.where(jnp.logical_and(active, hits), 1.0, sup)
+        sup = jnp.where(hits, 1.0, sup)
+        return next_active(g, sup), sup
 
-    sup = jax.lax.fori_loop(0, k, row_body, jnp.zeros((1, k), jnp.float32))
+    sup0 = jnp.zeros((1, k), jnp.float32)
+    g0 = next_active(jnp.int32(-1), sup0)
+    _, sup = jax.lax.while_loop(cond, body, (g0, sup0))
     keep_ref[:] = jnp.where(
         jnp.logical_and(sup == 0.0, valid != 0.0), 1.0, 0.0)
 
@@ -86,6 +107,11 @@ def nms_sweep_pallas(boxes: jnp.ndarray, valid: jnp.ndarray,
     """
     g, k, _ = boxes.shape
     assert k % LANE == 0, f"K must be a multiple of {LANE}, got {k}"
+    # Per-group sweep bound = last valid index + 1 (robust to arbitrary,
+    # non-prefix valid masks).
+    rev_any = jnp.argmax(valid[:, ::-1].astype(jnp.int32), axis=1)
+    counts = jnp.where(jnp.any(valid, axis=1), k - rev_any,
+                       0).astype(jnp.int32)
     kernel = functools.partial(
         _nms_sweep_kernel, iou_thresh=float(iou_thresh),
         plus_one=1.0 if plus_one else 0.0, k=k)
@@ -93,6 +119,7 @@ def nms_sweep_pallas(boxes: jnp.ndarray, valid: jnp.ndarray,
         kernel,
         grid=(g,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # counts, whole [G]
             pl.BlockSpec((None, k, 4), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, 1, k), lambda i: (i, 0, 0),
@@ -102,7 +129,7 @@ def nms_sweep_pallas(boxes: jnp.ndarray, valid: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((g, 1, k), jnp.float32),
         interpret=interpret,
-    )(boxes, valid[:, None, :].astype(jnp.float32))
+    )(counts, boxes, valid[:, None, :].astype(jnp.float32))
     return out[:, 0, :] != 0.0
 
 
