@@ -49,6 +49,18 @@ def parse_args():
     p.add_argument("--objectness_thre", default=0.01, type=float)
     p.add_argument("--dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--int8", action="store_true",
+                   help="serve the int8 PTQ twin (refinedet_tpu/quant): "
+                        "per-checkpoint max-calibration on --calib_images "
+                        "eval images, then int8 trunk/TCB inference")
+    p.add_argument("--calib_images", default=16, type=int)
+    p.add_argument("--calib_act_stat", default="p9999",
+                   choices=["amax", "p9999", "p999", "p99"],
+                   help="activation clip point for int8 calibration")
+    p.add_argument("--quant_skip", default=None,
+                   help="comma-separated conv names kept bf16 under --int8 "
+                        "(default: the early-VGG set, quant.DEFAULT_QUANT_"
+                        "SKIP; pass '' to quantize everything)")
     p.add_argument("--show_image", action="store_true",
                    help="write per-image PNGs with GT (green) vs "
                         "detections >= --vis_thres (red) to "
@@ -128,12 +140,33 @@ def main():
         keep_top_k=args.keep_top_k, conf_thresh=args.confidence_threshold,
         nms_thresh=args.nms_threshold,
         objectness_thresh=args.objectness_thre)
-    evaluator = Evaluator(model, dataset, cfg,
+    load_fn = make_loader(model)
+    eval_model = model
+    if args.int8:
+        from refinedet_tpu.quant import (DEFAULT_QUANT_SKIP,
+                                         calib_batches_from_dataset,
+                                         calibrate_amax, quantize_variables)
+        skip = (DEFAULT_QUANT_SKIP if args.quant_skip is None else
+                tuple(s for s in args.quant_skip.split(",") if s))
+        eval_model = build_refinedet("test", size, num_classes, dtype=dtype,
+                                     quant=True, quant_skip=skip)
+        load_f32 = load_fn
+
+        def load_fn(path):
+            variables = load_f32(path)
+            amax = calibrate_amax(
+                model, variables,
+                calib_batches_from_dataset(
+                    dataset, BaseTransform(size, C.MEANS),
+                    args.calib_images, args.batch_size))
+            return quantize_variables(eval_model, variables, amax,
+                                      act_stat=args.calib_act_stat)
+
+    evaluator = Evaluator(eval_model, dataset, cfg,
                           BaseTransform(size, C.MEANS),
                           batch_size=args.batch_size,
                           nms_top_k=args.nms_top_k,
                           max_per_image=args.keep_top_k)
-    load_fn = make_loader(model)
     save_folder = osp.join(args.save_folder,
                            osp.basename(args.prefix.rstrip("/")))
 

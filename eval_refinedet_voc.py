@@ -40,6 +40,16 @@ def parse_args():
                         "(false)")
     p.add_argument("--dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--int8", action="store_true",
+                   help="serve the int8 PTQ twin (refinedet_tpu/quant), "
+                        "max-calibrated on --calib_images eval images")
+    p.add_argument("--calib_images", default=16, type=int)
+    p.add_argument("--calib_act_stat", default="p9999",
+                   choices=["amax", "p9999", "p999", "p99"],
+                   help="activation clip point for int8 calibration")
+    p.add_argument("--quant_skip", default=None,
+                   help="comma-separated conv names kept bf16 under --int8 "
+                        "(default: quant.DEFAULT_QUANT_SKIP)")
     return p.parse_args()
 
 
@@ -58,15 +68,27 @@ def main():
         conf_thresh=args.confidence_threshold,
         nms_thresh=args.nms_threshold,
         objectness_thresh=args.objectness_thre)
+    from eval_refinedet_coco import make_loader
+    variables = make_loader(model)(args.trained_model)
+    eval_model = model
+    if args.int8:
+        from refinedet_tpu.quant import (DEFAULT_QUANT_SKIP,
+                                         calib_batches_from_dataset,
+                                         quantize_model)
+        skip = (DEFAULT_QUANT_SKIP if args.quant_skip is None else
+                tuple(s for s in args.quant_skip.split(",") if s))
+        eval_model, variables = quantize_model(
+            model, variables,
+            calib_batches_from_dataset(
+                dataset, BaseTransform(size, C.VOC_MEANS),
+                args.calib_images, args.batch_size),
+            dtype=dtype, act_stat=args.calib_act_stat, quant_skip=skip)
     # The reference VOC path ran the torch NMS (no +1 area convention,
     # box_utils.py:241), unlike the COCO path's C/CUDA NMS.
-    evaluator = Evaluator(model, dataset, cfg,
+    evaluator = Evaluator(eval_model, dataset, cfg,
                           BaseTransform(size, C.VOC_MEANS),
                           batch_size=args.batch_size,
                           nms_top_k=args.nms_top_k, plus_one=False)
-
-    from eval_refinedet_coco import make_loader
-    variables = make_loader(model)(args.trained_model)
     print("Finished loading model!")
     all_boxes = evaluator.run(variables)
 

@@ -47,20 +47,27 @@ class RefineDetModel:
 
     def __init__(self, phase: str, size: int, num_classes: int,
                  detector: Optional[Detect_RefineDet] = None,
-                 use_bn: bool = False, dtype: Any = jnp.float32):
+                 use_bn: bool = False, dtype: Any = jnp.float32,
+                 quant: bool = False, quant_skip: tuple = ()):
         if phase not in ("train", "test"):
             raise ValueError(f"phase must be 'train' or 'test', got {phase!r}")
         if size not in (320, 512, 896):
             raise ValueError(
                 "supported sizes: 320, 512 (reference) and 896 "
                 "(five-source variant)")
+        if quant and phase != "test":
+            raise ValueError("int8 quantization is an inference-only "
+                             "serving mode; use phase='test'")
         self.phase = phase
         self.size = size
         self.num_classes = num_classes
         self.use_bn = use_bn
+        self.quant = quant
         self.cfg = anchor_config_for(size, num_classes)
+        self.quant_skip = tuple(quant_skip)
         self.module = RefineDet(size=size, num_classes=num_classes,
-                                use_bn=use_bn, dtype=dtype)
+                                use_bn=use_bn, dtype=dtype, quant=quant,
+                                quant_skip=tuple(quant_skip))
         self.priors = jnp.asarray(generate_priors(self.cfg))
         self.detect = detector
 
@@ -100,11 +107,18 @@ class RefineDetModel:
 
 def build_refinedet(phase: str, size: int = 320, num_classes: int = 21,
                     detector: Optional[Detect_RefineDet] = None,
-                    use_bn: bool = False,
-                    dtype: Any = jnp.float32) -> RefineDetModel:
-    """API-parity builder (refinedet.py:278-291)."""
+                    use_bn: bool = False, dtype: Any = jnp.float32,
+                    quant: bool = False,
+                    quant_skip: tuple = ()) -> RefineDetModel:
+    """API-parity builder (refinedet.py:278-291).
+
+    ``quant=True`` builds the int8 serving twin (QuantConv trunk/TCB);
+    fill its variables with refinedet_tpu.quant.quantize_model.
+    ``quant_skip`` keeps the named convs unquantized.
+    """
     return RefineDetModel(phase, size, num_classes, detector=detector,
-                          use_bn=use_bn, dtype=dtype)
+                          use_bn=use_bn, dtype=dtype, quant=quant,
+                          quant_skip=quant_skip)
 
 
 def build_refinedet_bn(phase: str, size: int = 320, num_classes: int = 21,

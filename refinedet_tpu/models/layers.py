@@ -10,6 +10,7 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -33,6 +34,60 @@ class L2Norm(nn.Module):
         x32 = x.astype(jnp.float32)
         norm = jnp.sqrt(jnp.sum(x32 * x32, axis=-1, keepdims=True)) + 1e-10
         out = x32 / norm * weight
+        return out.astype(self.dtype)
+
+
+class QuantConv(nn.Module):
+    """Int8 post-training-quantized convolution (inference only).
+
+    TPU-native serving-path addition (no reference counterpart — the
+    reference serves f32 on GPU). Symmetric quantization with
+    **per-input-channel activation scales folded into the weights**:
+    ``x_q[..., c] = round(x[..., c] / in_scale[c])`` and the converter
+    (quant/ptq.py) quantizes ``W'[..., c, o] = W[..., c, o] * in_scale[c]``
+    per output channel into ``kernel_q`` × ``w_scale[o]``, so
+    ``conv(x_q, kernel_q) * w_scale`` reconstructs ``conv(x, W)`` with no
+    per-tensor activation bottleneck (SmoothQuant-style folding at zero
+    MXU cost — the per-channel divide is one fused VPU multiply). The conv
+    runs int8×int8→int32 on the MXU at twice the bf16 rate. Zero padding
+    is exact under symmetric quantization (no zero-point).
+
+    Parameters are filled by ``refinedet_tpu.quant.quantize_variables`` —
+    ``init`` only provides the tree template.
+    """
+
+    features: int
+    kernel: int
+    strides: int = 1
+    padding: int = 0
+    dilation: int = 1
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1]
+        k = self.kernel
+        kernel_q = self.param("kernel_q", nn.initializers.zeros,
+                              (k, k, cin, self.features), jnp.int8)
+        w_scale = self.param("w_scale", nn.initializers.ones,
+                             (self.features,), jnp.float32)
+        in_scale = self.param("in_scale", nn.initializers.ones,
+                              (cin,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) * (1.0 / in_scale)),
+                      -127.0, 127.0).astype(jnp.int8)
+        dn = jax.lax.conv_dimension_numbers(
+            xq.shape, kernel_q.shape, ("NHWC", "HWIO", "NHWC"))
+        y = jax.lax.conv_general_dilated(
+            xq, kernel_q,
+            window_strides=(self.strides, self.strides),
+            padding=[(self.padding, self.padding)] * 2,
+            rhs_dilation=(self.dilation, self.dilation),
+            dimension_numbers=dn,
+            preferred_element_type=jnp.int32)
+        out = y.astype(jnp.float32) * w_scale + bias
         return out.astype(self.dtype)
 
 

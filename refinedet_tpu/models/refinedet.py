@@ -28,7 +28,7 @@ from typing import Any, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from refinedet_tpu.models.layers import L2Norm, max_pool_2x2
+from refinedet_tpu.models.layers import L2Norm, QuantConv, max_pool_2x2
 
 # VGG-16 (conv layers only) — (name, out_channels); "M"/"C" are pools.
 VGG_CFG = (
@@ -47,6 +47,10 @@ ANCHORS_PER_CELL = 3
 _he = nn.initializers.he_normal()
 _xavier = nn.initializers.xavier_uniform()
 
+# Percentiles of |input| recorded (besides the max) by the PTQ calibration
+# sow; quant/ptq.py selects one as the activation clip point.
+CALIB_PERCENTILES = (99.99, 99.9, 99.0)
+
 
 class RefineDet(nn.Module):
     """RefineDet320/512 backbone + ARM/ODM heads + TCB fusion.
@@ -59,10 +63,22 @@ class RefineDet(nn.Module):
     num_classes: int = 21
     use_bn: bool = False
     dtype: Any = jnp.float32
+    # Int8 serving mode: quantizable convs become QuantConv (params filled
+    # by quant/ptq.py). Heads, conv1_1, L2Norm and the TCB deconvs stay in
+    # self.dtype — together <4% of the FLOPs, and the most
+    # quantization-sensitive layers. ``quant_skip`` names additional convs
+    # to keep unquantized (accuracy/speed knob).
+    quant: bool = False
+    quant_skip: Tuple[str, ...] = ()
 
     def _conv(self, features, kernel, name, *, strides=1, padding=0,
-              dilation=1, init=_he):
-        return nn.Conv(
+              dilation=1, init=_he, quantizable=False):
+        quantizable = quantizable and name not in self.quant_skip
+        if quantizable and self.quant:
+            return QuantConv(features=features, kernel=kernel,
+                             strides=strides, padding=padding,
+                             dilation=dilation, dtype=self.dtype, name=name)
+        conv = nn.Conv(
             features=features,
             kernel_size=(kernel, kernel),
             strides=(strides, strides),
@@ -74,6 +90,28 @@ class RefineDet(nn.Module):
             param_dtype=jnp.float32,
             name=name,
         )
+        if not quantizable:
+            return conv
+
+        def conv_with_calibration(x):
+            # Record per-input-channel |x| max + high percentiles for PTQ
+            # calibration (quant/ptq.py; per-channel scales fold into the
+            # quantized weights, and percentile clipping defends against
+            # activation outliers dominating the int8 scale). A no-op
+            # (DCE'd) unless apply() makes 'calib' mutable.
+            cin = x.shape[-1]
+            ax = jnp.abs(x.astype(jnp.float32)).reshape(-1, cin)
+            stats = jnp.concatenate([
+                jnp.max(ax, axis=0)[None],
+                jnp.percentile(ax, jnp.asarray(CALIB_PERCENTILES), axis=0),
+            ]).astype(jnp.float32)  # [1 + P, cin]
+            self.sow("calib", f"{name}_absstats", stats,
+                     init_fn=lambda: jnp.zeros(
+                         (1 + len(CALIB_PERCENTILES), cin), jnp.float32),
+                     reduce_fn=jnp.maximum)
+            return conv(x)
+
+        return conv_with_calibration
 
     def _maybe_bn(self, x, name, train):
         if not self.use_bn:
@@ -95,7 +133,8 @@ class RefineDet(nn.Module):
                 x = max_pool_2x2(x, ceil_mode=True)
             else:
                 name, ch = item
-                x = self._conv(ch, 3, f"vgg_{name}", padding=1)(x)
+                x = self._conv(ch, 3, f"vgg_{name}", padding=1,
+                               quantizable=name != "conv1_1")(x)
                 x = self._maybe_bn(x, f"vgg_{name}_bn", train)
                 x = nn.relu(x)
                 if name == "conv3_3" and self.size == 896:
@@ -113,20 +152,22 @@ class RefineDet(nn.Module):
                         L2Norm(512, 8.0, dtype=self.dtype,
                                name="conv5_3_L2Norm")(x))
         x = max_pool_2x2(x)  # pool5
-        x = self._conv(1024, 3, "vgg_conv6", padding=3, dilation=3)(x)
+        x = self._conv(1024, 3, "vgg_conv6", padding=3, dilation=3,
+                       quantizable=True)(x)
         x = self._maybe_bn(x, "vgg_conv6_bn", train)
         x = nn.relu(x)
-        x = self._conv(1024, 1, "vgg_conv7")(x)
+        x = self._conv(1024, 1, "vgg_conv7", quantizable=True)(x)
         x = self._maybe_bn(x, "vgg_conv7_bn", train)
         x = nn.relu(x)
         sources.append(x)
 
         # --- extras ---
-        x = self._conv(256, 1, "extra_conv1", init=_xavier)(x)
+        x = self._conv(256, 1, "extra_conv1", init=_xavier,
+                       quantizable=True)(x)
         x = self._maybe_bn(x, "extra_conv1_bn", train)
         x = nn.relu(x)
         x = self._conv(512, 3, "extra_conv2", strides=2, padding=1,
-                       init=_xavier)(x)
+                       init=_xavier, quantizable=True)(x)
         x = self._maybe_bn(x, "extra_conv2_bn", train)
         x = nn.relu(x)
         sources.append(x)
@@ -147,10 +188,10 @@ class RefineDet(nn.Module):
         p = None
         for si in reversed(range(num_levels)):
             s = self._conv(TCB_CHANNELS, 3, f"tcb0_{si}_conv1", padding=1,
-                           init=_xavier)(sources[si])
+                           init=_xavier, quantizable=True)(sources[si])
             s = nn.relu(s)
             s = self._conv(TCB_CHANNELS, 3, f"tcb0_{si}_conv2", padding=1,
-                           init=_xavier)(s)
+                           init=_xavier, quantizable=True)(s)
             if si != num_levels - 1:
                 up = nn.ConvTranspose(
                     features=TCB_CHANNELS, kernel_size=(2, 2),
@@ -160,7 +201,7 @@ class RefineDet(nn.Module):
                 s = s + up
             s = nn.relu(s)
             s = self._conv(TCB_CHANNELS, 3, f"tcb2_{si}_conv", padding=1,
-                           init=_xavier)(s)
+                           init=_xavier, quantizable=True)(s)
             s = nn.relu(s)
             p = s
             tcb_feats[si] = s

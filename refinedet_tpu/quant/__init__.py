@@ -1,0 +1,7 @@
+from refinedet_tpu.quant.ptq import (DEFAULT_QUANT_SKIP,
+                                     calib_batches_from_dataset,
+                                     calibrate_amax, quantize_model,
+                                     quantize_variables)
+
+__all__ = ["DEFAULT_QUANT_SKIP", "calib_batches_from_dataset",
+           "calibrate_amax", "quantize_model", "quantize_variables"]

@@ -1,0 +1,187 @@
+"""Post-training int8 quantization (PTQ) for the RefineDet serving path.
+
+TPU-native serving addition with no reference counterpart (the reference
+serves f32 on GPU; see /root/reference/eval_refinedet_coco.py): the v5e MXU
+runs int8 x int8 -> int32 at twice the bf16 rate, and the quantized trunk
+measures ~1.5x faster than bf16 at batch 128 (see README perf table).
+
+Scheme — standard symmetric max-calibration PTQ:
+  * weights:     per-output-channel int8, ``w_scale[c] = max|w[..., c]| / 127``
+  * activations: per-tensor int8, ``in_scale = max|x| / 127`` with the max
+    taken over a calibration stream (recorded by the f32 model via the
+    'calib' sow in RefineDet._conv)
+  * quantized layers: VGG trunk (except conv1_1), extras, TCB convs —
+    ~96% of the FLOPs. Heads, conv1_1, L2Norm and deconvs stay bf16/f32.
+
+Typical use::
+
+    model = build_refinedet('test', 320, 21, dtype=jnp.bfloat16)
+    ...restore variables...
+    model_q, variables_q = quantize_model(model, variables, calib_batches)
+    boxes, scores = jax.jit(model_q.apply)(variables_q, images)
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from refinedet_tpu.models.refinedet import CALIB_PERCENTILES
+
+_STATS_SUFFIX = "_absstats"
+# activation clip-point choices -> index into the recorded stats vector
+# [amax, *CALIB_PERCENTILES] (99.99, 99.9, 99.0)
+ACT_STATS = {"amax": 0, "p9999": 1, "p999": 2, "p99": 3}
+assert len(ACT_STATS) == 1 + len(CALIB_PERCENTILES)
+
+# Early VGG convs kept bf16 by default: their image-like, high-dynamic-
+# range activations are the dominant int8 accuracy cost (skipping them
+# recovers ~1/3 of the quantization AP gap on the trained smoke for ~15%
+# of the FLOPs; see tools/smoke_int8.py ablation), while TCB-side
+# skipping measures as pure cost.
+DEFAULT_QUANT_SKIP = ("vgg_conv1_2", "vgg_conv2_1")
+
+
+def calibrate_amax(model, variables,
+                   batches: Iterable) -> Dict[str, np.ndarray]:
+    """Run calibration batches through the f32/bf16 model and collect the
+    per-conv-input |x| statistics recorded by the 'calib' sow: a
+    [amax, p99.99, p99.9, p99] x [cin] matrix per quantized conv
+    (rows per CALIB_PERCENTILES, columns per input channel).
+
+    ``batches`` yields image arrays [B,H,W,3] (already preprocessed exactly
+    as at inference). Returns {conv_name: stats} with the elementwise
+    running max over all batches (exact for amax, a slight overestimate
+    for the percentiles of the pooled stream — the right direction for a
+    clip point).
+    """
+
+    @jax.jit
+    def run(v, images):
+        _, state = model.raw_forward(v, images, train=False,
+                                     mutable=["calib"])
+        return state["calib"]
+
+    stats: Dict[str, np.ndarray] = {}
+    n = 0
+    for images in batches:
+        captured = jax.device_get(run(variables, jnp.asarray(images)))
+        for key, val in captured.items():
+            name = key[:-len(_STATS_SUFFIX)]
+            val = np.asarray(val, np.float32)
+            prev = stats.get(name)
+            stats[name] = val if prev is None else np.maximum(prev, val)
+        n += 1
+    if n == 0:
+        raise ValueError("calibration stream was empty")
+    return stats
+
+
+def _clip_point(stat: Union[np.ndarray, float],
+                act_stat: str) -> np.ndarray:
+    """Per-input-channel clip points [cin] from a stats matrix (or a
+    scalar/vector amax, for hand-built calibration dicts)."""
+    stat = np.asarray(stat, np.float32)
+    if stat.ndim <= 1:  # scalar or per-channel amax given directly
+        return np.atleast_1d(stat)
+    return stat[ACT_STATS[act_stat]]
+
+
+def quantize_variables(model_q, variables, amax: Dict,
+                       act_stat: str = "p9999"):
+    """Fill the quantized model's variable tree from trained f32 variables.
+
+    ``model_q`` is the ``quant=True`` twin (same size/num_classes/use_bn);
+    its param template decides which convs are quantized (QuantConv leaves
+    carry 'kernel_q'). Weights get per-output-channel scales; the input
+    scale comes from ``amax`` (calibrate_amax stats vectors, or plain
+    floats) with the ``act_stat`` clip point per input channel — 'p9999'
+    (default) clips the top 0.01% activation outliers (best AP on the
+    trained smoke, tools/smoke_int8.py); 'amax', 'p999' and 'p99' are the
+    alternatives. Percentile clip points are floored at 1e-3 x the channel
+    max so sparse channels don't saturate.
+    """
+    template = jax.eval_shape(
+        lambda: model_q.init(jax.random.PRNGKey(0)))
+    params = variables["params"]
+    new_params = {}
+    for name, leaves in template["params"].items():
+        if "kernel_q" not in leaves:
+            if name not in params:
+                raise KeyError(f"missing f32 params for module {name!r}")
+            new_params[name] = params[name]
+            continue
+        if name not in amax:
+            raise KeyError(
+                f"no calibration amax for quantized conv {name!r}; "
+                f"calibrated: {sorted(amax)}")
+        w = np.asarray(params[name]["kernel"], np.float32)
+        b = np.asarray(params[name]["bias"], np.float32)
+        # per-input-channel activation scales, folded into the weights
+        # (see QuantConv): x_q[c] = x[c] / in_scale[c], W' = W * in_scale
+        clip = _clip_point(amax[name], act_stat)
+        stat = np.asarray(amax[name], np.float32)
+        if stat.ndim == 2:
+            # floor percentile clip points against sparse channels whose
+            # high percentile is ~0 while the max is not (the scale would
+            # saturate every non-zero value to +-127)
+            clip = np.maximum(clip, 1e-3 * stat[0])
+        in_scale = np.maximum(clip / 127.0, 1e-12).astype(np.float32)
+        if in_scale.shape == (1,) and w.shape[2] != 1:
+            in_scale = np.broadcast_to(in_scale, (w.shape[2],)).copy()
+        w_folded = w * in_scale[None, None, :, None]
+        w_scale = np.abs(w_folded).max(axis=(0, 1, 2)) / 127.0
+        w_scale = np.maximum(w_scale, 1e-12).astype(np.float32)
+        kernel_q = np.clip(np.round(w_folded / w_scale),
+                           -127, 127).astype(np.int8)
+        new_params[name] = {
+            "kernel_q": jnp.asarray(kernel_q),
+            "w_scale": jnp.asarray(w_scale),
+            "in_scale": jnp.asarray(in_scale),
+            "bias": jnp.asarray(b),
+        }
+    out = dict(variables)
+    out["params"] = new_params
+    out.pop("calib", None)
+    return out
+
+
+def calib_batches_from_dataset(dataset, transform, num_images: int,
+                               batch_size: int):
+    """Yield calibration batches of eval-preprocessed images from a
+    dataset with the ``pull_image`` accessor (VOC/COCO/SSDD loaders)."""
+    n = min(num_images, len(dataset))
+    if n == 0:
+        raise ValueError("dataset is empty; cannot calibrate")
+    for b0 in range(0, n, batch_size):
+        idx = range(b0, min(b0 + batch_size, n))
+        imgs = []
+        for i in idx:
+            raw = dataset.pull_image(i)
+            raw = raw[0] if isinstance(raw, tuple) else raw
+            imgs.append(transform(raw))
+        yield np.stack(imgs).astype(np.float32)
+
+
+def quantize_model(model, variables, calib_batches: Iterable,
+                   dtype=jnp.bfloat16,
+                   amax: Optional[Dict] = None,
+                   act_stat: str = "p9999",
+                   quant_skip: tuple = DEFAULT_QUANT_SKIP):
+    """One-call PTQ: calibrate on ``calib_batches`` (ignored if ``amax``
+    given) and return (model_q, variables_q) — the int8 serving twin of
+    ``model`` with the same detector/phase semantics. ``quant_skip``
+    names convs to keep unquantized."""
+    from refinedet_tpu.models.builder import build_refinedet
+
+    if amax is None:
+        amax = calibrate_amax(model, variables, calib_batches)
+    model_q = build_refinedet(
+        "test", model.size, model.num_classes, detector=model.detect,
+        use_bn=model.use_bn, dtype=dtype, quant=True,
+        quant_skip=quant_skip)
+    return model_q, quantize_variables(model_q, variables, amax,
+                                       act_stat=act_stat)

@@ -1,0 +1,156 @@
+"""Int8 PTQ serving path: QuantConv mechanics, calibration capture,
+f32->int8 conversion, and closeness of the quantized model's outputs.
+
+No reference counterpart (the reference serves f32); these pin the
+TPU-native serving addition in refinedet_tpu/quant/ptq.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from refinedet_tpu.models import build_refinedet
+from refinedet_tpu.models.layers import QuantConv
+from refinedet_tpu.quant import (calibrate_amax, quantize_model,
+                                 quantize_variables)
+
+# Quantized conv set for the four-source 320/512 models (trunk minus
+# conv1_1, extras, TCB) — must mirror RefineDet._conv quantizable flags.
+QUANTIZED_320 = (
+    ["vgg_conv1_2", "vgg_conv2_1", "vgg_conv2_2", "vgg_conv3_1",
+     "vgg_conv3_2", "vgg_conv3_3", "vgg_conv4_1", "vgg_conv4_2",
+     "vgg_conv4_3", "vgg_conv5_1", "vgg_conv5_2", "vgg_conv5_3",
+     "vgg_conv6", "vgg_conv7", "extra_conv1", "extra_conv2"]
+    + [f"tcb0_{i}_conv1" for i in range(4)]
+    + [f"tcb0_{i}_conv2" for i in range(4)]
+    + [f"tcb2_{i}_conv" for i in range(4)])
+
+
+def test_quantconv_exact_on_grid(rng):
+    """On-grid inputs and int8-grid weights reproduce the f32 conv exactly
+    (symmetric quantization has no systematic error inside the grid)."""
+    cin, cout, k = 8, 16, 3
+    in_scale = rng.uniform(0.05, 0.25, cin).astype(np.float32)
+    w_scale = (rng.uniform(0.01, 0.05, cout)).astype(np.float32)
+    kernel_q = rng.randint(-127, 128, (k, k, cin, cout)).astype(np.int8)
+    bias = rng.randn(cout).astype(np.float32)
+    x_int = rng.randint(-127, 128, (2, 10, 10, cin)).astype(np.float32)
+    x = jnp.asarray(x_int * in_scale)  # on-grid per channel
+
+    conv = QuantConv(features=cout, kernel=k, padding=1, dtype=jnp.float32)
+    variables = {"params": {"kernel_q": jnp.asarray(kernel_q),
+                            "w_scale": jnp.asarray(w_scale),
+                            "in_scale": jnp.asarray(in_scale),
+                            "bias": jnp.asarray(bias)}}
+    got = conv.apply(variables, x)
+
+    # effective f32 weight: folded scales divide back out per input channel
+    w = (kernel_q.astype(np.float32) * w_scale
+         / in_scale[None, None, :, None])
+    dn = jax.lax.conv_dimension_numbers(x.shape, w.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    want = jax.lax.conv_general_dilated(
+        x, jnp.asarray(w), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=dn) + bias
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-3)
+
+
+def test_calibration_captures_all_quantized_convs(rng):
+    model = build_refinedet("test", 320, 3)
+    variables = model.init(jax.random.PRNGKey(0))
+    images = rng.uniform(-120, 130, (1, 320, 320, 3)).astype(np.float32)
+    amax = calibrate_amax(model, variables, [images])
+    assert sorted(amax) == sorted(QUANTIZED_320)
+    for name, stats in amax.items():
+        # [amax, p99.99, p99.9, p99] x [cin]: per-input-channel,
+        # non-negative (dead relu channels can record 0), monotone
+        # non-increasing down the percentile rows
+        assert stats.ndim == 2 and stats.shape[0] == 4, (name, stats.shape)
+        assert np.all(stats >= 0) and stats[0].max() > 0, name
+        assert np.all(np.diff(stats, axis=0) <= 1e-5)
+    # running max over batches: a second, brighter batch can only raise it
+    amax2 = calibrate_amax(model, variables, [images, images * 2.0])
+    assert all(np.all(amax2[k] >= amax[k] - 1e-6) for k in amax)
+
+
+def test_quantize_variables_tree(rng):
+    model = build_refinedet("test", 320, 3)
+    variables = model.init(jax.random.PRNGKey(0))
+    images = rng.uniform(-120, 130, (1, 320, 320, 3)).astype(np.float32)
+    model_q, vq = quantize_model(model, variables, [images],
+                                 dtype=jnp.float32, quant_skip=())
+    params_q = vq["params"]
+    for name in QUANTIZED_320:
+        leaves = params_q[name]
+        assert leaves["kernel_q"].dtype == jnp.int8
+        assert leaves["w_scale"].shape == (leaves["kernel_q"].shape[-1],)
+        assert float(jnp.max(jnp.abs(leaves["kernel_q"]))) <= 127
+        # scales reconstruct the f32 weight within half a (folded) step:
+        # W ~= kernel_q * w_scale / in_scale[c]
+        w = np.asarray(variables["params"][name]["kernel"])
+        in_s = np.asarray(leaves["in_scale"])[None, None, :, None]
+        w_hat = (np.asarray(leaves["kernel_q"], np.float32)
+                 * np.asarray(leaves["w_scale"])) / in_s
+        step = np.asarray(leaves["w_scale"]) / in_s
+        assert np.all(np.abs(w - w_hat) <= 0.5 * step + 1e-7)
+    # sensitive layers stay f32
+    for name in ["vgg_conv1_1", "arm_loc0", "arm_conf0", "odm_loc0",
+                 "odm_conf0", "conv4_3_L2Norm", "tcb1_0_deconv"]:
+        assert "kernel_q" not in params_q[name]
+        ref_leaves = variables["params"][name]
+        for leaf, val in params_q[name].items():
+            np.testing.assert_array_equal(np.asarray(val),
+                                          np.asarray(ref_leaves[leaf]))
+
+
+def test_quantized_model_outputs_close(rng):
+    """Head outputs of the int8 model track the f32 model within a few
+    percent in relative L2 on random-init weights."""
+    model = build_refinedet("test", 320, 3)
+    variables = model.init(jax.random.PRNGKey(0))
+    images = rng.uniform(-120, 130, (1, 320, 320, 3)).astype(np.float32)
+    model_q, vq = quantize_model(model, variables, [images],
+                                 dtype=jnp.float32, quant_skip=())
+
+    ref = model.raw_forward(variables, jnp.asarray(images))
+    got = model_q.raw_forward(vq, jnp.asarray(images))
+    names = ["arm_loc", "arm_conf", "odm_loc", "odm_conf"]
+    for name, r, g in zip(names, ref, got):
+        r, g = np.asarray(r), np.asarray(g)
+        rel = np.linalg.norm(g - r) / (np.linalg.norm(r) + 1e-12)
+        assert rel < 0.06, f"{name}: relative L2 error {rel:.4f}"
+
+    # the full test-phase path (softmax + cascade decode) runs and agrees:
+    # random-init logits have std ~19, so a max-diff bound on softmax
+    # outputs is ill-conditioned near class ties — assert distributional
+    # agreement (top-1 class match + mean prob error) instead
+    boxes_f, scores_f = model.apply(variables, jnp.asarray(images))
+    boxes_q, scores_q = model_q.apply(vq, jnp.asarray(images))
+    assert boxes_q.shape == boxes_f.shape
+    assert scores_q.shape == scores_f.shape
+    sf, sq = np.asarray(scores_f), np.asarray(scores_q)
+    top1_agree = np.mean(sf.argmax(-1) == sq.argmax(-1))
+    assert top1_agree > 0.97, top1_agree
+    assert np.mean(np.abs(sq - sf)) < 0.02
+
+
+def test_quant_requires_test_phase():
+    with pytest.raises(ValueError):
+        build_refinedet("train", 320, 3, quant=True)
+
+
+def test_default_quant_skip_keeps_early_vgg_f32(rng):
+    """quantize_model's default skip (accuracy-critical early VGG convs)
+    leaves those layers as plain f32 convs."""
+    from refinedet_tpu.quant import DEFAULT_QUANT_SKIP
+    model = build_refinedet("test", 320, 3)
+    variables = model.init(jax.random.PRNGKey(0))
+    images = rng.uniform(-120, 130, (1, 320, 320, 3)).astype(np.float32)
+    model_q, vq = quantize_model(model, variables, [images],
+                                 dtype=jnp.float32)
+    for name in DEFAULT_QUANT_SKIP:
+        assert "kernel_q" not in vq["params"][name], name
+        assert "kernel" in vq["params"][name]
+    assert "kernel_q" in vq["params"]["vgg_conv3_1"]
