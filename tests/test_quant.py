@@ -141,6 +141,21 @@ def test_quant_requires_test_phase():
         build_refinedet("train", 320, 3, quant=True)
 
 
+def test_quantize_bn_variant(rng):
+    """The BN variant quantizes too: BN stays (unfolded) after the int8
+    conv, batch_stats pass through the converter."""
+    model = build_refinedet("test", 320, 3, use_bn=True)
+    variables = model.init(jax.random.PRNGKey(0))
+    images = rng.uniform(-120, 130, (1, 320, 320, 3)).astype(np.float32)
+    model_q, vq = quantize_model(model, variables, [images],
+                                 dtype=jnp.float32)
+    assert model_q.use_bn
+    assert "batch_stats" in vq
+    assert "kernel_q" in vq["params"]["vgg_conv3_1"]
+    boxes, scores = model_q.apply(vq, jnp.asarray(images))
+    assert np.all(np.isfinite(np.asarray(scores)))
+
+
 def test_default_quant_skip_keeps_early_vgg_f32(rng):
     """quantize_model's default skip (accuracy-critical early VGG convs)
     leaves those layers as plain f32 convs."""
