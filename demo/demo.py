@@ -36,6 +36,8 @@ def parse_args():
     p.add_argument("--threshold", default=0.6, type=float)
     p.add_argument("--out", default="demo_out.png")
     p.add_argument("--means", default="voc", choices=["voc", "sar"])
+    p.add_argument("--int8", action="store_true",
+                   help="serve the int8 PTQ twin, calibrated on this image")
     return p.parse_args()
 
 
@@ -58,6 +60,11 @@ def main():
     assert img is not None, f"cannot read {args.image}"
     h, w = img.shape[:2]
     x = BaseTransform(size, means)(img)[None]
+
+    if args.int8:
+        from refinedet_tpu.quant import quantize_model
+        model, variables = quantize_model(model, variables,
+                                          [x.astype(np.float32)])
 
     heads = model.raw_forward(variables, jnp.asarray(x))
     arm_loc, arm_conf, odm_loc, odm_conf = heads

@@ -61,6 +61,10 @@ def parse_args():
                    help="comma-separated conv names kept bf16 under --int8 "
                         "(default: the early-VGG set, quant.DEFAULT_QUANT_"
                         "SKIP; pass '' to quantize everything)")
+    p.add_argument("--save_quantized", default=None,
+                   help="with --int8 --trained_model: save the calibrated "
+                        "int8 variables as an Orbax checkpoint here "
+                        "(restores without recalibration)")
     p.add_argument("--show_image", action="store_true",
                    help="write per-image PNGs with GT (green) vs "
                         "detections >= --vis_thres (red) to "
@@ -154,6 +158,11 @@ def main():
 
         def load_fn(path):
             variables = load_f32(path)
+            params = variables.get("params", {})
+            if any(isinstance(v, dict) and "kernel_q" in v
+                   for v in params.values()):
+                return variables  # already-quantized checkpoint, as saved
+                # by --save_quantized: skip recalibration
             amax = calibrate_amax(
                 model, variables,
                 calib_batches_from_dataset(
@@ -191,6 +200,12 @@ def main():
         assert args.trained_model, "--trained_model or --sweep required"
         variables = load_fn(args.trained_model)
         print("Finished loading model!")
+        if args.int8 and args.save_quantized:
+            import orbax.checkpoint as ocp
+            ckptr = ocp.StandardCheckpointer()
+            ckptr.save(osp.abspath(args.save_quantized), variables)
+            ckptr.wait_until_finished()
+            print(f"quantized variables saved -> {args.save_quantized}")
         all_boxes = evaluator.run(variables)
         if args.show_image:
             draw_detections(dataset, all_boxes,

@@ -2,16 +2,21 @@
 
 TPU-native serving addition with no reference counterpart (the reference
 serves f32 on GPU; see /root/reference/eval_refinedet_coco.py): the v5e MXU
-runs int8 x int8 -> int32 at twice the bf16 rate, and the quantized trunk
-measures ~1.5x faster than bf16 at batch 128 (see README perf table).
+runs int8 x int8 -> int32 at twice the bf16 rate — measured 1.44x
+end-to-end at batch 128 in the default configuration, 1.52x fully
+quantized (see README perf table).
 
-Scheme — standard symmetric max-calibration PTQ:
-  * weights:     per-output-channel int8, ``w_scale[c] = max|w[..., c]| / 127``
-  * activations: per-tensor int8, ``in_scale = max|x| / 127`` with the max
-    taken over a calibration stream (recorded by the f32 model via the
-    'calib' sow in RefineDet._conv)
-  * quantized layers: VGG trunk (except conv1_1), extras, TCB convs —
-    ~96% of the FLOPs. Heads, conv1_1, L2Norm and deconvs stay bf16/f32.
+Scheme — symmetric PTQ with per-channel everything:
+  * weights:     per-output-channel int8, ``w_scale[o] = max|W'[..., o]|/127``
+  * activations: per-INPUT-channel scales folded into the weights
+    (SmoothQuant-style): ``x_q[c] = round(x[c] / in_scale[c])`` and
+    ``W' = W * in_scale`` before weight quantization, so the fold costs
+    nothing on the MXU. ``in_scale[c]`` is a clip point (amax or a high
+    percentile) of the calibration stream, recorded per channel by the
+    'calib' sow in RefineDet._conv.
+  * quantized layers: VGG trunk, extras, TCB convs, minus
+    DEFAULT_QUANT_SKIP (early VGG convs — the dominant accuracy cost for
+    ~15% of FLOPs). Heads, conv1_1, L2Norm and deconvs stay bf16/f32.
 
 Typical use::
 
