@@ -28,7 +28,12 @@ from refinedet_tpu.models import build_refinedet  # noqa: E402
 
 def parse_args():
     p = argparse.ArgumentParser(description="RefineDet single-image demo")
-    p.add_argument("--image", required=True)
+    p.add_argument(
+        "--image",
+        default=osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
+                         "data", "example.jpg"),
+        help="input image (default: data/example.jpg, as in the reference "
+             "demo/demo.ipynb)")
     p.add_argument("--trained_model", default=None,
                    help=".pth or Orbax checkpoint (random weights if unset)")
     p.add_argument("--input_size", default="320", choices=["320", "512"])
