@@ -1,0 +1,281 @@
+"""Golden parity tests against the ACTUAL reference code.
+
+Imports /root/reference (via tests/reference_modules.py stubs) and pins this
+framework's outputs against the reference implementation directly:
+
+  (a) match / refine_match vs layers/box_utils.py:70-160 on random
+      padded/unpadded GT sets;
+  (b) RefineDetMultiBoxLoss values (ARM + ODM modes) vs
+      layers/modules/refinedet_multibox_loss.py:10-139;
+  (c) Detect_RefineDet.forward boxes/scores vs
+      layers/functions/detection_refinedet.py:27-65 (and the legacy
+      forward_python_nms [B,C,topk,5] mode);
+  (d) full-model forward parity: one state_dict loaded into BOTH
+      /root/reference/models/refinedet.py and the Flax model, plus PriorBox
+      output equality (layers/functions/prior_box.py:7-56).
+
+These retire the builder-authored mirrors (tools/torch_refinedet.py,
+tests/oracles.py) as the only oracles.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from reference_modules import load_reference, reference_available  # noqa: E402
+
+if not reference_available():
+    pytest.skip("/root/reference not mounted", allow_module_level=True)
+
+REF = load_reference()
+
+from refinedet_tpu.boxes.matcher import match, refine_match  # noqa: E402
+from refinedet_tpu.boxes.priors import generate_priors  # noqa: E402
+from refinedet_tpu.config import DetectConfig, voc_refinedet  # noqa: E402
+from refinedet_tpu.detect.detection import (  # noqa: E402
+    detect_refinedet, detect_refinedet_nms)
+from refinedet_tpu.losses.multibox import refinedet_multibox_loss  # noqa: E402
+from refinedet_tpu.models import build_refinedet  # noqa: E402
+from refinedet_tpu.models.torch_import import (  # noqa: E402
+    torch_state_dict_to_flax)
+
+VARIANCES = (0.1, 0.2)
+MAX_BOXES = 10
+
+
+def _rand_gt(rng, n):
+    """n random valid point-form boxes in [0,1] + 0-based labels."""
+    cxcy = rng.uniform(0.15, 0.85, (n, 2))
+    wh = rng.uniform(0.05, 0.4, (n, 2))
+    boxes = np.concatenate([cxcy - wh / 2, cxcy + wh / 2], 1)
+    boxes = np.clip(boxes, 0.0, 1.0).astype(np.float32)
+    labels = rng.randint(0, 3, n).astype(np.float32)
+    return boxes, labels
+
+
+def _pad(arr, rows, fill=0.0):
+    out = np.full((rows,) + arr.shape[1:], fill, arr.dtype)
+    out[: len(arr)] = arr
+    return out
+
+
+@pytest.fixture(scope="module")
+def priors():
+    """Reference PriorBox output for RefineDet320/VOC — also asserts this
+    framework's generator matches the real reference, not just the mirror."""
+    ref_p = REF.PriorBox(REF.voc_refinedet["320"]).forward().numpy()
+    mine = np.asarray(generate_priors(voc_refinedet["320"]))
+    assert ref_p.shape == mine.shape == (6375, 4)
+    np.testing.assert_allclose(mine, ref_p, atol=1e-6)
+    return ref_p
+
+
+def _ref_match(kind, truths, labels, priors_np, arm_loc=None, thresh=0.5):
+    """Run the reference match/refine_match into fresh target tensors."""
+    p = len(priors_np)
+    loc_t = torch.zeros(1, p, 4)
+    conf_t = torch.zeros(1, p, dtype=torch.long)
+    t = torch.from_numpy(truths)
+    l = torch.from_numpy(labels)
+    pr = torch.from_numpy(priors_np)
+    if kind == "match":
+        REF.box_utils.match(thresh, t, pr, list(VARIANCES), l,
+                            loc_t, conf_t, 0)
+    else:
+        arm = None if arm_loc is None else torch.from_numpy(arm_loc)
+        REF.box_utils.refine_match(thresh, t, pr, list(VARIANCES), l,
+                                   loc_t, conf_t, 0, arm)
+    return loc_t[0].numpy(), conf_t[0].numpy()
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.parametrize("kind", ["match", "refine_arm", "refine_odm"])
+def test_matching_parity(priors, kind, seed):
+    rng = np.random.RandomState(seed)
+    n = rng.randint(1, MAX_BOXES + 1)
+    truths, labels = _rand_gt(rng, n)
+    arm_loc = (rng.randn(len(priors), 4) * 0.3).astype(np.float32) \
+        if kind == "refine_odm" else None
+    if kind != "match":
+        labels = labels + 1  # refine_match: foreground ids from 1, no shift
+
+    ref_loc, ref_conf = _ref_match(
+        "match" if kind == "match" else "refine",
+        truths, labels, priors, arm_loc)
+
+    valid = np.arange(MAX_BOXES) < n
+    t_pad = jnp.asarray(_pad(truths, MAX_BOXES))
+    l_pad = jnp.asarray(_pad(labels.astype(np.int32), MAX_BOXES))
+    v = jnp.asarray(valid)
+    pr = jnp.asarray(priors)
+    if kind == "match":
+        got = match(t_pad, l_pad, v, pr, VARIANCES, 0.5)
+    elif kind == "refine_arm":
+        got = refine_match(t_pad, l_pad, v, pr, VARIANCES, 0.5)
+    else:
+        got = refine_match(t_pad, l_pad, v, pr, VARIANCES, 0.5,
+                           jnp.asarray(arm_loc))
+
+    np.testing.assert_array_equal(np.asarray(got.conf_t), ref_conf)
+    pos = ref_conf > 0  # loc targets only consumed where positive
+    np.testing.assert_allclose(np.asarray(got.loc_t)[pos], ref_loc[pos],
+                               atol=2e-5, rtol=2e-5)
+
+
+def _rand_predictions(rng, b, p, num_classes):
+    arm_loc = (rng.randn(b, p, 4) * 0.3).astype(np.float32)
+    arm_conf = (rng.randn(b, p, 2) * 2).astype(np.float32)
+    odm_loc = (rng.randn(b, p, 4) * 0.3).astype(np.float32)
+    odm_conf = (rng.randn(b, p, num_classes) * 2).astype(np.float32)
+    return arm_loc, arm_conf, odm_loc, odm_conf
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize("use_arm", [False, True])
+def test_loss_parity(priors, use_arm, seed):
+    """RefineDetMultiBoxLoss vs the reference, ARM and ODM modes."""
+    num_classes, b, p = 4, 3, len(priors)
+    rng = np.random.RandomState(100 + seed)
+    preds = _rand_predictions(rng, b, p, num_classes if use_arm else 2)
+    arm_loc, arm_conf, odm_loc, odm_conf = preds
+    if not use_arm:
+        # ARM criterion consumes the (arm_loc, arm_conf) slots
+        odm_loc_full = (rng.randn(b, p, 4) * 0.3).astype(np.float32)
+        odm_conf_full = (rng.randn(b, p, num_classes) * 2).astype(np.float32)
+        preds_t = (arm_loc, arm_conf, odm_loc_full, odm_conf_full)
+    else:
+        arm2 = (rng.randn(b, p, 2) * 2).astype(np.float32)
+        loc2 = (rng.randn(b, p, 4) * 0.3).astype(np.float32)
+        preds_t = (loc2, arm2, odm_loc, odm_conf)
+
+    gts = [_rand_gt(rng, rng.randint(1, MAX_BOXES + 1)) for _ in range(b)]
+    targets = [torch.from_numpy(np.concatenate(
+        [bx, (lb + 1)[:, None]], 1)) for bx, lb in gts]
+
+    crit = REF.RefineDetMultiBoxLoss(
+        2 if not use_arm else num_classes, 0.5, True, 0, True, 3, 0.5,
+        False, use_gpu=False, theta=0.01, use_ARM=use_arm)
+    t_preds = tuple(torch.from_numpy(a) for a in preds_t) + (
+        torch.from_numpy(np.asarray(priors)),)
+    with torch.no_grad():
+        ref_l, ref_c = crit(t_preds, targets)
+
+    gt_boxes = jnp.asarray(np.stack([_pad(bx, MAX_BOXES) for bx, _ in gts]))
+    gt_labels = jnp.asarray(np.stack(
+        [_pad((lb + 1).astype(np.int32), MAX_BOXES) for _, lb in gts]))
+    gt_valid = jnp.asarray(np.stack(
+        [np.arange(MAX_BOXES) < len(bx) for bx, _ in gts]))
+    out = refinedet_multibox_loss(
+        tuple(jnp.asarray(a) for a in preds_t) + (jnp.asarray(priors),),
+        gt_boxes, gt_labels, gt_valid,
+        num_classes=2 if not use_arm else num_classes, use_arm=use_arm)
+
+    np.testing.assert_allclose(float(out.loss_l), float(ref_l),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(out.loss_c), float(ref_c),
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_detect_forward_parity(priors, seed):
+    """Live-path Detect_RefineDet.forward (raw boxes/scores)."""
+    num_classes, b, p = 5, 2, len(priors)
+    rng = np.random.RandomState(200 + seed)
+    arm_loc, arm_conf, odm_loc, odm_conf = _rand_predictions(
+        rng, b, p, num_classes)
+    arm_probs = jax.nn.softmax(jnp.asarray(arm_conf), -1)
+    odm_probs = jax.nn.softmax(jnp.asarray(odm_conf), -1)
+
+    det = REF.Detect_RefineDet(num_classes, "320", 0, 1000, 0.01, 0.45,
+                               0.01, 500)
+    # the reference mutates odm conf in place -> hand it a copy
+    with torch.no_grad():
+        ref_boxes, ref_scores = det.forward(
+            torch.from_numpy(arm_loc),
+            torch.from_numpy(np.asarray(arm_probs)).clone(),
+            torch.from_numpy(odm_loc),
+            torch.from_numpy(np.asarray(odm_probs)).clone(),
+            torch.from_numpy(np.asarray(priors)))
+
+    boxes, scores = detect_refinedet(
+        jnp.asarray(arm_loc), arm_probs, jnp.asarray(odm_loc), odm_probs,
+        jnp.asarray(priors), variances=VARIANCES, objectness_thresh=0.01)
+
+    np.testing.assert_allclose(np.asarray(boxes), ref_boxes.numpy(),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(scores), ref_scores.numpy(),
+                               atol=1e-5)
+
+
+def test_detect_nms_mode_parity(priors):
+    """Legacy internal-NMS mode: same surviving (score, box) rows per class.
+
+    Uses a reduced prior set (NMS is O(P^2) pairwise on the reference's
+    per-class candidate list) and no keep_top_k cap (inert in the
+    reference — detection_refinedet.py:109-112 operates on a copy)."""
+    num_classes, p = 4, 600
+    rng = np.random.RandomState(7)
+    sub = np.asarray(priors)[rng.choice(len(priors), p, replace=False)]
+    arm_loc, arm_conf, odm_loc, odm_conf = _rand_predictions(
+        rng, 1, p, num_classes)
+    arm_probs = jax.nn.softmax(jnp.asarray(arm_conf), -1)
+    odm_probs = jax.nn.softmax(jnp.asarray(odm_conf), -1)
+
+    top_k = 50
+    det = REF.Detect_RefineDet(num_classes, "320", 0, top_k, 0.01, 0.45,
+                               0.01, 500)
+    with torch.no_grad():
+        ref_out = det.forward_python_nms(
+            torch.from_numpy(arm_loc),
+            torch.from_numpy(np.asarray(arm_probs)).clone(),
+            torch.from_numpy(odm_loc),
+            torch.from_numpy(np.asarray(odm_probs)).clone(),
+            torch.from_numpy(sub)).numpy()
+
+    cfg = DetectConfig(num_classes=num_classes, top_k=top_k, keep_top_k=500,
+                       conf_thresh=0.01, nms_thresh=0.45,
+                       objectness_thresh=0.01)
+    got = np.asarray(detect_refinedet_nms(
+        jnp.asarray(arm_loc), arm_probs, jnp.asarray(odm_loc), odm_probs,
+        jnp.asarray(sub), cfg))
+
+    assert got.shape == ref_out.shape
+    for cl in range(1, num_classes):
+        ref_rows = ref_out[0, cl][ref_out[0, cl, :, 0] > 0]
+        got_rows = got[0, cl][got[0, cl, :, 0] > 0]
+        assert len(ref_rows) == len(got_rows), f"class {cl} survivor count"
+        # order can differ on score ties; sort by score desc then x1
+        key = lambda r: (-r[:, 0], r[:, 1])
+        ref_rows = ref_rows[np.lexsort(key(ref_rows)[::-1])]
+        got_rows = got_rows[np.lexsort(key(got_rows)[::-1])]
+        np.testing.assert_allclose(got_rows, ref_rows, atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_full_model_forward_parity():
+    """One random state_dict into BOTH the reference RefineDet and the Flax
+    model; raw train-phase heads and priors must agree."""
+    torch.manual_seed(0)
+    ref_net = REF.refinedet.build_refinedet("train", 320, 21).eval()
+    jmodel = build_refinedet("train", 320, 21)
+    variables = {"params": torch_state_dict_to_flax(ref_net.state_dict())}
+
+    rng = np.random.RandomState(0)
+    x = (rng.randn(1, 320, 320, 3) * 30).astype(np.float32)
+    with torch.no_grad():
+        t_out = ref_net(torch.from_numpy(
+            np.ascontiguousarray(x.transpose(0, 3, 1, 2))))
+    j_out = jmodel.raw_forward(variables, jnp.asarray(x))
+
+    np.testing.assert_allclose(np.asarray(jmodel.priors),
+                               t_out[4].numpy(), atol=1e-6)
+    for name, t, j in zip(("arm_loc", "arm_conf", "odm_loc", "odm_conf"),
+                          t_out, j_out):
+        t, j = t.numpy(), np.asarray(j)
+        assert t.shape == j.shape, name
+        err = np.abs(t - j).max() / (np.abs(t).max() + 1e-6)
+        assert err < 2e-4, (name, err)
