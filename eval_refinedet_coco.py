@@ -161,8 +161,30 @@ def main():
             params = variables.get("params", {})
             if any(isinstance(v, dict) and "kernel_q" in v
                    for v in params.values()):
-                return variables  # already-quantized checkpoint, as saved
-                # by --save_quantized: skip recalibration
+                # Already-quantized checkpoint (saved by --save_quantized):
+                # skip recalibration, but validate the quantized-conv set
+                # against the requested --quant_skip up front — a mismatch
+                # would otherwise surface much later as an opaque Flax
+                # ScopeParamNotFoundError mid-inference.
+                import jax
+                template = jax.eval_shape(
+                    lambda: eval_model.init(jax.random.PRNGKey(0)))
+                want_q = {n for n, l in template["params"].items()
+                          if "kernel_q" in l}
+                have_q = {n for n, l in params.items()
+                          if isinstance(l, dict) and "kernel_q" in l}
+                if want_q != have_q:
+                    raise ValueError(
+                        f"quantized checkpoint {path!r} was saved with a "
+                        "different --quant_skip than requested: checkpoint "
+                        f"quantizes {sorted(have_q - want_q) or 'nothing extra'}"
+                        f" that the requested model keeps bf16, and lacks "
+                        f"{sorted(want_q - have_q) or 'nothing'}. Re-pass the "
+                        "--quant_skip used at --save_quantized time.")
+                print("restored pre-quantized checkpoint; --calib_images/"
+                      "--calib_act_stat are ignored (scales were baked in "
+                      "at --save_quantized time)")
+                return variables
             amax = calibrate_amax(
                 model, variables,
                 calib_batches_from_dataset(
@@ -190,6 +212,15 @@ def main():
         epochs.append(300)
         pairs = [(c, e) for c, e in zip(ckpts, epochs)
                  if osp.exists(c) or osp.exists(c + ".pth")]
+        # the reference prints every model path it sweeps
+        # (eval_refinedet_coco.py:336-349); log what exists AND what was
+        # skipped so a hole in the epoch schedule is visible
+        missing = [(c, e) for c, e in zip(ckpts, epochs)
+                   if (c, e) not in pairs]
+        for c, e in pairs:
+            print(f"sweep: epoch {e}: {c}")
+        for c, e in missing:
+            print(f"sweep: epoch {e}: MISSING ({c}[.pth]) — skipped")
         ckpts = [c if osp.exists(c) else c + ".pth" for c, _ in pairs]
         epochs = [e for _, e in pairs]
         stats = evaluator.sweep(ckpts, load_fn, epochs, save_folder)

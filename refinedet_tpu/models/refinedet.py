@@ -97,8 +97,12 @@ class RefineDet(nn.Module):
             # Record per-input-channel |x| max + high percentiles for PTQ
             # calibration (quant/ptq.py; per-channel scales fold into the
             # quantized weights, and percentile clipping defends against
-            # activation outliers dominating the int8 scale). A no-op
-            # (DCE'd) unless apply() makes 'calib' mutable.
+            # activation outliers dominating the int8 scale). Gated on
+            # 'calib' mutability so eager (un-jitted) forwards don't pay
+            # ~24 full-feature-map sorts per call — under jit the gate is
+            # redundant (DCE) but eager callers like demo.py are not.
+            if not self.is_mutable_collection("calib"):
+                return conv(x)
             cin = x.shape[-1]
             ax = jnp.abs(x.astype(jnp.float32)).reshape(-1, cin)
             stats = jnp.concatenate([

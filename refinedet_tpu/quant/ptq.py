@@ -134,6 +134,24 @@ def quantize_variables(model_q, variables, amax: Dict,
             # high percentile is ~0 while the max is not (the scale would
             # saturate every non-zero value to +-127)
             clip = np.maximum(clip, 1e-3 * stat[0])
+        # Calibration-dead channels (amax == 0 on the calib stream, e.g. a
+        # ReLU unit that never fired on the ~16 calib images) would get an
+        # in_scale of ~1e-12: the folded weight column rounds to all-zero
+        # int8 and any eval-time activation in that channel is silently
+        # dropped. Floor their clip point at a fraction of the layer-wide
+        # max so they degrade gracefully instead.
+        amax_vec = stat[0] if stat.ndim == 2 else np.atleast_1d(stat)
+        layer_max = float(amax_vec.max()) if amax_vec.size else 0.0
+        dead = amax_vec <= 0.0
+        if dead.any() and layer_max > 0.0:
+            import warnings
+            warnings.warn(
+                f"PTQ: {name!r} has {int(dead.sum())}/{dead.size} "
+                "calibration-dead input channels (|x| max 0 on the "
+                "calibration stream); flooring their clip point at 5% of "
+                "the layer-wide max. Consider more calibration images.")
+            clip = np.where(np.broadcast_to(dead, clip.shape),
+                            0.05 * layer_max, clip)
         in_scale = np.maximum(clip / 127.0, 1e-12).astype(np.float32)
         if in_scale.shape == (1,) and w.shape[2] != 1:
             in_scale = np.broadcast_to(in_scale, (w.shape[2],)).copy()
