@@ -98,6 +98,7 @@ def main():
     aps = evaluate_voc(all_boxes, dataset, VOC_CLASSES,
                        use_07_metric=args.use_07_metric)
     print(f"mAP: {aps['mAP']:.4f}")
+    return aps
 
 
 if __name__ == "__main__":

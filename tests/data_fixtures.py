@@ -60,11 +60,43 @@ def make_coco_dataset(root, name="sarship", split="train", num_images=4,
     return dataset
 
 
+def _draw_class_pattern(img, x, y, w, h, pattern):
+    """Draw one bright object whose CLASS is encoded in its *silhouette*
+    (not color — SSDAugmentation's photometric distortion randomizes hue /
+    shuffles channels, so color-coded classes are unlearnable through the
+    reference augmentation chain; and not fine texture — Expand can shrink
+    objects up to 4x, erasing thin stripes/borders at resize): 0 = filled
+    rect, 1 = filled ellipse, 2 = filled triangle, 3 = thick plus/cross."""
+    v = 220
+    k = pattern % 4
+    if k == 0:
+        img[y:y + h, x:x + w] = v
+    elif k == 1:
+        cv2.ellipse(img, (x + w // 2, y + h // 2), (w // 2, h // 2),
+                    0, 0, 360, (v, v, v), -1)
+    elif k == 2:
+        pts = np.array([[x + w // 2, y], [x, y + h - 1],
+                        [x + w - 1, y + h - 1]], np.int32)
+        cv2.fillPoly(img, [pts], (v, v, v))
+    else:
+        tw, th = max(3, w // 3), max(3, h // 3)
+        cx, cy = x + (w - tw) // 2, y + (h - th) // 2
+        img[y:y + h, cx:cx + tw] = v
+        img[cy:cy + th, x:x + w] = v
+
+
 def make_voc_dataset(root, year="2007", image_set="trainval",
                      num_images=4, img_size=96, seed=0,
-                     classes=("aeroplane", "bicycle")):
+                     classes=("aeroplane", "bicycle"),
+                     class_colors=None, class_patterns=False):
     """Write a tiny VOCdevkit tree (JPEGImages + XML Annotations +
-    ImageSets/Main list) with bright-rectangle objects."""
+    ImageSets/Main list) with bright-rectangle objects.
+
+    ``class_colors`` (optional list of BGR triples, one per class) gives
+    each class a distinct fill color; ``class_patterns=True`` encodes the
+    class in the object's shape/texture instead, which survives the
+    photometric augmentations — used by the learnability e2e smoke
+    (tools/smoke_voc_e2e.py)."""
     rng = np.random.RandomState(seed)
     base = osp.join(root, "VOC" + year)
     for sub in ("JPEGImages", "Annotations",
@@ -77,12 +109,20 @@ def make_voc_dataset(root, year="2007", image_set="trainval",
         img = rng.randint(0, 80, (img_size, img_size, 3)).astype(np.uint8)
         objs = []
         for _ in range(rng.randint(1, 3)):
-            w = rng.randint(14, img_size // 2)
-            h = rng.randint(14, img_size // 2)
+            # silhouette-coded classes need enough pixels to survive the
+            # up-to-4x Expand shrink; plain bright rects can be smaller
+            lo = img_size // 4 if class_patterns else 14
+            w = rng.randint(lo, img_size // 2)
+            h = rng.randint(lo, img_size // 2)
             x = rng.randint(0, img_size - w)
             y = rng.randint(0, img_size - h)
-            img[y:y + h, x:x + w] = 220
-            name = classes[rng.randint(len(classes))]
+            ci = rng.randint(len(classes))
+            if class_patterns:
+                _draw_class_pattern(img, x, y, w, h, ci)
+            else:
+                img[y:y + h, x:x + w] = (220 if class_colors is None
+                                         else class_colors[ci])
+            name = classes[ci]
             # VOC XML is 1-based inclusive
             objs.append(
                 f"<object><name>{name}</name><difficult>0</difficult>"

@@ -1,0 +1,102 @@
+"""21-class VOC end-to-end smoke THROUGH THE REAL CLIs (verdict item #2).
+
+Exercises the reference's headline path (train_refinedet.py:124-127 ->
+eval_refinedet_voc.py:366-415 flow): synthetic shape-coded VOCdevkit
+-> `train_refinedet.py --dataset VOC --input_size 320` (21-class model,
+VOC_MEANS, SSDAugmentation, warmup LR schedule, Orbax checkpoints) ->
+`eval_refinedet_voc.py` on the final checkpoint (label +1 shift, no-+1 NMS
+convention, per-class VOC result files, 11-point AP) -> assert the mean AP
+over the classes present in the fixture clears a learnability threshold.
+
+Runs anywhere JAX has a device; ~4 min on the TPU chip (most of it
+compile), ~30 min on the 1-core CPU host.
+
+Usage: python tools/smoke_voc_e2e.py [--max_epoch N] [--threshold F]
+"""
+
+import argparse
+import os
+import os.path as osp
+import sys
+import tempfile
+import time
+
+_repo = osp.dirname(osp.dirname(osp.abspath(__file__)))
+sys.path.insert(0, _repo)
+sys.path.insert(0, osp.join(_repo, "tests"))
+
+# Four classes encoded by SILHOUETTE (filled rect / ellipse / triangle /
+# thick cross) — color-coded classes are unlearnable through
+# SSDAugmentation's photometric distortion (hue jitter + random channel
+# shuffle), and fine textures are erased by Expand's up-to-4x shrink.
+CLASSES = ("aeroplane", "bicycle", "boat", "car")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--max_epoch", default=150, type=int)
+    p.add_argument("--batch_size", default=8, type=int)
+    p.add_argument("--lr", default=5e-4, type=float)
+    p.add_argument("--num_train", default=64, type=int)
+    p.add_argument("--num_test", default=16, type=int)
+    p.add_argument("--threshold", default=0.30, type=float,
+                   help="min mean AP over the present classes")
+    p.add_argument("--root", default=None, help="reuse a fixture/workdir")
+    args = p.parse_args()
+
+    from data_fixtures import make_voc_dataset
+
+    work = args.root or tempfile.mkdtemp(prefix="voc_e2e_")
+    voc_root = osp.join(work, "VOCdevkit")
+    if not osp.exists(osp.join(voc_root, "VOC2007")):
+        # the train driver follows the reference's VOC0712 recipe
+        # (2007 trainval + 2012 trainval; test on 2007-test)
+        half = args.num_train // 2
+        make_voc_dataset(voc_root, year="2007", image_set="trainval",
+                         num_images=half, img_size=160, seed=3,
+                         classes=CLASSES, class_patterns=True)
+        make_voc_dataset(voc_root, year="2012", image_set="trainval",
+                         num_images=args.num_train - half, img_size=160,
+                         seed=4, classes=CLASSES, class_patterns=True)
+        make_voc_dataset(voc_root, year="2007", image_set="test",
+                         num_images=args.num_test, img_size=160, seed=77,
+                         classes=CLASSES, class_patterns=True)
+    save = osp.join(work, "weights") + "/"
+
+    import train_refinedet
+    import eval_refinedet_voc
+
+    t0 = time.time()
+    sys.argv = ["train_refinedet.py", "--dataset", "VOC",
+                "--input_size", "320", "--dataset_root", voc_root,
+                "--batch_size", str(args.batch_size),
+                "--lr", str(args.lr), "--grad_clip", "5.0",
+                "--max_epoch", str(args.max_epoch),
+                "--num_workers", "2", "--save_folder", save]
+    train_refinedet.main()
+    t_train = time.time() - t0
+    ckpt = osp.join(save, "RefineDet320_VOC_epoches_final")
+    assert osp.exists(ckpt), ckpt
+
+    t0 = time.time()
+    sys.argv = ["eval_refinedet_voc.py", "--input_size", "320",
+                "--voc_root", voc_root, "--trained_model", ckpt,
+                "--batch_size", str(args.batch_size),
+                "--save_folder", osp.join(work, "eval") + "/"]
+    aps = eval_refinedet_voc.main()
+    t_eval = time.time() - t0
+
+    present = {c: aps[c] for c in CLASSES}
+    mean_present = sum(present.values()) / len(present)
+    print(f"VOC e2e: train {t_train:.0f}s, eval {t_eval:.0f}s; "
+          f"per-class AP over present classes: "
+          f"{ {k: round(v, 4) for k, v in present.items()} }")
+    print(f"VOC e2e: mean AP (present classes) = {mean_present:.4f} "
+          f"(threshold {args.threshold})")
+    assert mean_present >= args.threshold, (
+        f"mean AP {mean_present:.4f} below {args.threshold}")
+    print("VOC e2e smoke PASSED")
+
+
+if __name__ == "__main__":
+    main()
