@@ -66,6 +66,8 @@ def load_reference():
     from data import coco_refinedet, voc_refinedet  # noqa: E402
     import models.refinedet as refinedet  # noqa: E402
 
+    import utils.augmentations as augmentations  # noqa: E402
+
     ns.box_utils = box_utils
     ns.Detect_RefineDet = Detect_RefineDet
     ns.PriorBox = PriorBox
@@ -73,4 +75,5 @@ def load_reference():
     ns.voc_refinedet = voc_refinedet
     ns.coco_refinedet = coco_refinedet
     ns.refinedet = refinedet
+    ns.augmentations = augmentations
     return ns
