@@ -67,7 +67,11 @@ def load_reference():
     import models.refinedet as refinedet  # noqa: E402
 
     import utils.augmentations as augmentations  # noqa: E402
+    from layers.functions.detection import Detect  # noqa: E402
+    from layers.modules.multibox_loss import MultiBoxLoss  # noqa: E402
 
+    ns.Detect = Detect
+    ns.MultiBoxLoss = MultiBoxLoss
     ns.box_utils = box_utils
     ns.Detect_RefineDet = Detect_RefineDet
     ns.PriorBox = PriorBox
