@@ -66,18 +66,27 @@ def measure_jax():
     # Identical in-flight executions can get elided by the dev tunnel's
     # relay (see .claude/skills/verify/SKILL.md "Benchmarking through the
     # tunnel"), so the honest measurement serializes each iteration on the
-    # previous one's output; fori_loop overhead is <1% at this batch size.
+    # previous one's output AND carries a returned-and-fetched scalar
+    # accumulator over every op — carry idioms like `x + 0.0 * val` (or
+    # even optimization_barrier) can still get their loop bodies deleted
+    # by the relay's compile pipeline. The first timed execution of a
+    # fresh program can absorb a one-time ~150 s relay cost, so time
+    # twice and keep the second.
     @jax.jit
     def chained(variables, img):
-        def body(_, x):
+        def body(_, carry):
+            x, acc = carry
             boxes, scores = model.apply(variables, x)
-            return x + 0.0 * boxes.sum().astype(x.dtype)
-        return jax.lax.fori_loop(0, ITERS, body, img)
+            val = (boxes.sum() + scores.sum()).astype(jnp.float32)
+            return (x + val * 1e-12, acc + val)
+        return jax.lax.fori_loop(0, ITERS, body, (img, jnp.float32(0.0)))
 
-    jax.block_until_ready(chained(params, images))
-    t0 = time.time()
-    jax.block_until_ready(chained(params, images))
-    dt = time.time() - t0
+    jax.block_until_ready(chained(params, images + 1.0))  # warmup/compile
+    for _ in range(2):
+        t0 = time.time()
+        out = chained(params, images)
+        float(out[1])  # fetch the accumulator: forces real execution
+        dt = time.time() - t0
     throughput = BATCH * ITERS / dt
     log(f"batched throughput (chained, headline): {throughput:.1f} img/s "
         f"({dt / ITERS * 1000:.2f} ms / batch of {BATCH})")
@@ -96,21 +105,25 @@ def measure_jax():
         f"{np.median(lats) * 1000:.2f} ms")
 
     # device-only latency: chain N dependent inferences inside one program
-    # so no host round trip is involved
+    # so no host round trip is involved (same accumulator pattern as above)
     n_chain = 20
 
     @jax.jit
-    def chained(variables, img):
-        def body(_, x):
+    def chained_b1(variables, img):
+        def body(_, carry):
+            x, acc = carry
             boxes, scores = model.apply(variables, x)
-            return x + 0.0 * boxes.sum()  # serialize the chain
-        return jax.lax.fori_loop(0, n_chain, body, img)
+            val = (boxes.sum() + scores.sum()).astype(jnp.float32)
+            return (x + val * 1e-12, acc + val)
+        return jax.lax.fori_loop(0, n_chain, body, (img, jnp.float32(0.0)))
 
-    jax.block_until_ready(chained(params, one))
-    t0 = time.time()
-    jax.block_until_ready(chained(params, one))
-    log(f"batch-1 device-only latency: "
-        f"{(time.time() - t0) / n_chain * 1000:.2f} ms")
+    jax.block_until_ready(chained_b1(params, one + 1.0))
+    for _ in range(2):
+        t0 = time.time()
+        out = chained_b1(params, one)
+        float(out[1])
+        dt = time.time() - t0
+    log(f"batch-1 device-only latency: {dt / n_chain * 1000:.2f} ms")
     return throughput
 
 
