@@ -34,6 +34,12 @@ def parse_args():
     p.add_argument("--objectness_thre", default=0.01, type=float)
     p.add_argument("--top_k", default=1000, type=int)
     p.add_argument("--nms_top_k", default=300, type=int)
+    p.add_argument("--det_shift", default=1.0, type=float,
+                   help="detection-coordinate offset applied during AP "
+                        "matching; 1.0 (default) reproduces the "
+                        "reference chain's 1-based-result-file vs "
+                        "0-based-GT quirk exactly, 0.0 evaluates "
+                        "geometrically aligned")
     p.add_argument("--use_07_metric", default=True,
                    type=lambda v: v.lower() not in ("0", "false", "no"),
                    help="11-point VOC2007 AP (true) or every-point AUC AP "
@@ -96,7 +102,8 @@ def main():
     write_voc_results_files(
         all_boxes, [i[1] for i in dataset.ids], VOC_CLASSES, out_dir)
     aps = evaluate_voc(all_boxes, dataset, VOC_CLASSES,
-                       use_07_metric=args.use_07_metric)
+                       use_07_metric=args.use_07_metric,
+                       det_shift=args.det_shift)
     print(f"mAP: {aps['mAP']:.4f}")
     return aps
 

@@ -35,29 +35,45 @@ def voc_ap(rec: np.ndarray, prec: np.ndarray,
 
 
 def _iou_one_to_many(box: np.ndarray, boxes: np.ndarray) -> np.ndarray:
-    """VOC-convention IoU (+1 pixel areas) of one box vs many."""
+    """Matching IoU of one detection vs many GT boxes.
+
+    NOTE: this reference fork's ``voc_eval`` DROPS the VOC devkit's
+    +1-pixel area convention (eval_refinedet_voc.py:330-336 — plain
+    ``ixmax - ixmin``, areas without +1), unlike the Fast-R-CNN-lineage
+    original and unlike the fork's own NMS path. Reproduced as-is for
+    numerical parity; see tests/test_voc_eval_reference_parity.py.
+    """
     ixmin = np.maximum(boxes[:, 0], box[0])
     iymin = np.maximum(boxes[:, 1], box[1])
     ixmax = np.minimum(boxes[:, 2], box[2])
     iymax = np.minimum(boxes[:, 3], box[3])
-    iw = np.maximum(ixmax - ixmin + 1.0, 0.0)
-    ih = np.maximum(iymax - iymin + 1.0, 0.0)
+    iw = np.maximum(ixmax - ixmin, 0.0)
+    ih = np.maximum(iymax - iymin, 0.0)
     inter = iw * ih
-    union = ((box[2] - box[0] + 1.0) * (box[3] - box[1] + 1.0) +
-             (boxes[:, 2] - boxes[:, 0] + 1.0) *
-             (boxes[:, 3] - boxes[:, 1] + 1.0) - inter)
+    union = ((box[2] - box[0]) * (box[3] - box[1]) +
+             (boxes[:, 2] - boxes[:, 0]) *
+             (boxes[:, 3] - boxes[:, 1]) - inter)
     return inter / union
 
 
 def voc_eval_class(detections: Sequence[Tuple[str, float, np.ndarray]],
                    gt: Dict[str, dict], ovthresh: float = 0.5,
-                   use_07_metric: bool = True
+                   use_07_metric: bool = True, det_shift: float = 0.0
                    ) -> Tuple[np.ndarray, np.ndarray, float]:
     """Evaluate one class.
 
     Args:
       detections: list of (image_id, score, box[x1,y1,x2,y2]).
       gt: image_id -> {"bbox": [G,4], "difficult": [G] bool}.
+      det_shift: added to every detection coordinate before matching.
+        The reference's end-to-end chain inherits an off-by-one from
+        ssd.pytorch: result files are written 1-based
+        (eval_refinedet_voc.py:160-162, ``+1`` on 0-based net outputs)
+        while ``parse_rec`` converts the XML GT back to 0-based
+        (:117-120), so its IoU sees detections shifted by (+1, +1)
+        relative to GT. ``evaluate_voc`` passes 1.0 to reproduce the
+        reference's reported numbers exactly
+        (tests/test_voc_eval_reference_parity.py).
     Returns (recall, precision, ap).
     """
     # per-image match state
@@ -82,7 +98,8 @@ def voc_eval_class(detections: Sequence[Tuple[str, float, np.ndarray]],
         if g is None or len(g["bbox"]) == 0:
             fp[rank] = 1.0
             continue
-        overlaps = _iou_one_to_many(np.asarray(box, float), g["bbox"])
+        overlaps = _iou_one_to_many(np.asarray(box, float) + det_shift,
+                                    g["bbox"])
         jmax = int(np.argmax(overlaps))
         if overlaps[jmax] > ovthresh:
             if g["difficult"][jmax]:
@@ -125,12 +142,15 @@ def write_voc_results_files(all_boxes, image_ids: Sequence[str],
 
 def evaluate_voc(all_boxes, dataset, class_names: Sequence[str],
                  ovthresh: float = 0.5, use_07_metric: bool = True,
-                 verbose: bool = True) -> Dict[str, float]:
+                 verbose: bool = True,
+                 det_shift: float = 1.0) -> Dict[str, float]:
     """Full VOC mAP over a VOCDetection dataset.
 
     all_boxes[class_index][image_index] = [N, 5] (x1, y1, x2, y2, score)
     with class_index 1-based (0 = background), matching the reference's
-    all_boxes layout.
+    all_boxes layout. ``det_shift=1.0`` reproduces the reference chain's
+    1-based-result-file vs 0-based-GT matching offset (see
+    voc_eval_class); pass 0.0 for geometrically aligned matching.
     """
     # Gather GT per class (incl. difficult flags) from the dataset.
     gts: List[Dict[str, dict]] = [dict() for _ in class_names]
@@ -151,7 +171,7 @@ def evaluate_voc(all_boxes, dataset, class_names: Sequence[str],
             for k in range(rows.shape[0] if rows.size else 0):
                 dets.append((str(img_id), float(rows[k, 4]), rows[k, :4]))
         _, _, ap = voc_eval_class(dets, gts[cls_ind], ovthresh,
-                                  use_07_metric)
+                                  use_07_metric, det_shift=det_shift)
         aps[cls] = ap
         if verbose:
             print(f"AP for {cls} = {ap:.4f}")

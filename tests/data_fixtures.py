@@ -88,7 +88,8 @@ def _draw_class_pattern(img, x, y, w, h, pattern):
 def make_voc_dataset(root, year="2007", image_set="trainval",
                      num_images=4, img_size=96, seed=0,
                      classes=("aeroplane", "bicycle"),
-                     class_colors=None, class_patterns=False):
+                     class_colors=None, class_patterns=False,
+                     difficult_prob=0.0):
     """Write a tiny VOCdevkit tree (JPEGImages + XML Annotations +
     ImageSets/Main list) with bright-rectangle objects.
 
@@ -123,9 +124,13 @@ def make_voc_dataset(root, year="2007", image_set="trainval",
                 img[y:y + h, x:x + w] = (220 if class_colors is None
                                          else class_colors[ci])
             name = classes[ci]
-            # VOC XML is 1-based inclusive
+            diff = int(rng.uniform() < difficult_prob)
+            # VOC XML is 1-based inclusive; pose/truncated included for
+            # parsers that require them (the reference's parse_rec,
+            # eval_refinedet_voc.py:106-123).
             objs.append(
-                f"<object><name>{name}</name><difficult>0</difficult>"
+                f"<object><name>{name}</name><pose>Unspecified</pose>"
+                f"<truncated>0</truncated><difficult>{diff}</difficult>"
                 f"<bndbox><xmin>{x + 1}</xmin><ymin>{y + 1}</ymin>"
                 f"<xmax>{x + w}</xmax><ymax>{y + h}</ymax></bndbox>"
                 f"</object>")
