@@ -256,6 +256,91 @@ def test_detect_nms_mode_parity(priors):
 
 
 @pytest.mark.slow
+def test_one_train_step_equivalence():
+    """THE composite train-parity claim: identical weights + identical
+    batch through BOTH full train steps — reference (torch forward,
+    RefineDetMultiBoxLoss ARM+ODM, backward, torch.optim.SGD with
+    momentum 0.9 / wd 5e-4, train_refinedet.py:179-258) and ours (one
+    jitted step from refinedet_tpu.train) — must produce the same
+    parameter UPDATE. Forward, matching, mining, loss, backward and
+    optimizer semantics all have to agree for the deltas to line up."""
+    import optax  # noqa: F401  (train dep, ensures env parity)
+    from refinedet_tpu.config import TrainConfig
+    from refinedet_tpu.train import make_optimizer, make_train_step
+    from refinedet_tpu.train.train_step import TrainState
+
+    torch.manual_seed(1)
+    num_classes, b, max_boxes = 4, 2, 4
+    lr, momentum, wd = 0.01, 0.9, 5e-4
+
+    ref_net = REF.refinedet.build_refinedet("train", 320, num_classes)
+    ref_net.train()
+    # deep-copy: state_dict tensors are views of the live parameters, and
+    # opt.step() below mutates them in place — aliased leaves would
+    # silently hand OUR step the post-update weights
+    params0 = jax.tree.map(np.array,
+                           torch_state_dict_to_flax(ref_net.state_dict()))
+
+    rng = np.random.RandomState(5)
+    x = (rng.randn(b, 320, 320, 3) * 30).astype(np.float32)
+    gts = [_rand_gt(rng, rng.randint(1, max_boxes + 1)) for _ in range(b)]
+
+    # --- reference step ---
+    opt = torch.optim.SGD(ref_net.parameters(), lr=lr, momentum=momentum,
+                          weight_decay=wd)
+    arm_crit = REF.RefineDetMultiBoxLoss(2, 0.5, True, 0, True, 3, 0.5,
+                                         False, use_gpu=False)
+    odm_crit = REF.RefineDetMultiBoxLoss(num_classes, 0.5, True, 0, True,
+                                         3, 0.5, False, use_gpu=False,
+                                         use_ARM=True)
+    out = ref_net(torch.from_numpy(
+        np.ascontiguousarray(x.transpose(0, 3, 1, 2))))
+    targets = [torch.from_numpy(np.concatenate(
+        [bx, (lb + 1)[:, None].astype(np.float32)], 1))
+        for bx, lb in gts]
+    la, ca = arm_crit(out, targets)
+    lo, co = odm_crit(out, targets)
+    ref_loss = la + ca + lo + co
+    opt.zero_grad()
+    ref_loss.backward()
+    opt.step()
+    ref_after = jax.tree.map(
+        np.array, torch_state_dict_to_flax(ref_net.state_dict()))
+
+    # --- our step (float32 for tight comparison) ---
+    model = build_refinedet("train", 320, num_classes)
+    tx = make_optimizer(lambda s: lr, momentum=momentum, weight_decay=wd)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params0,
+                       opt_state=tx.init(params0), batch_stats=None)
+    step = make_train_step(model, tx, TrainConfig(batch_size=b,
+                                                  max_boxes=max_boxes))
+    gt_boxes = jnp.asarray(np.stack([_pad(bx, max_boxes) for bx, _ in gts]))
+    gt_labels = jnp.asarray(np.stack(
+        [_pad((lb + 1).astype(np.int32), max_boxes) for _, lb in gts]))
+    gt_valid = jnp.asarray(np.stack(
+        [np.arange(max_boxes) < len(bx) for bx, _ in gts]))
+    new_state, metrics = step(state, jnp.asarray(x), gt_boxes, gt_labels,
+                              gt_valid)
+
+    np.testing.assert_allclose(float(metrics["loss"]), float(ref_loss),
+                               rtol=2e-4, atol=1e-5)
+
+    flat_ref0 = jax.tree_util.tree_leaves_with_path(params0)
+    flat_ref1 = dict(jax.tree_util.tree_leaves_with_path(ref_after))
+    flat_new = dict(jax.tree_util.tree_leaves_with_path(new_state.params))
+    checked = 0
+    for path, w0 in flat_ref0:
+        d_ref = np.asarray(flat_ref1[path]) - np.asarray(w0)
+        d_our = np.asarray(flat_new[path]) - np.asarray(w0)
+        denom = np.linalg.norm(d_ref) + 1e-12
+        rel = np.linalg.norm(d_our - d_ref) / denom
+        name = jax.tree_util.keystr(path)
+        assert rel < 2e-2, (name, rel, float(denom))
+        checked += 1
+    assert checked > 50  # every conv kernel/bias + L2Norm scales
+
+
+@pytest.mark.slow
 def test_full_model_forward_parity():
     """One random state_dict into BOTH the reference RefineDet and the Flax
     model; raw train-phase heads and priors must agree."""
