@@ -103,6 +103,67 @@ def torch_state_dict_to_flax(state: Mapping, num_sources: int = 4
     return params
 
 
+# BN-variant vgg ModuleList layout (refinedet_bn.py:246-269: every conv is
+# followed by its BatchNorm2d at idx+1, then ReLU; pools shift the indices
+# vs the plain layout — tap tables at refinedet_bn.py:48-52).
+BN_VGG_CONV_IDX = {
+    0: "conv1_1", 3: "conv1_2", 7: "conv2_1", 10: "conv2_2",
+    14: "conv3_1", 17: "conv3_2", 20: "conv3_3",
+    24: "conv4_1", 27: "conv4_2", 30: "conv4_3",
+    34: "conv5_1", 37: "conv5_2", 40: "conv5_3",
+    44: "conv6", 47: "conv7",
+}
+
+
+def torch_state_dict_to_flax_bn(state: Mapping, num_sources: int = 4
+                                ) -> Dict[str, dict]:
+    """Convert a BN-variant RefineDet state_dict (refinedet_bn.py, built
+    with backbone_dict=dict(bn=True)) to flax variables: returns
+    {"params": ..., "batch_stats": ...}. Heads/TCB carry no BN (add_tcb,
+    arm/odm_multibox have no batch_norm branch); extras BNs sit at
+    ModuleList indices 1 and 4 (add_extras, refinedet_bn.py:273-293).
+
+    ``num_sources=5`` covers the 896 five-source variant (conv3_3 L2Norm
+    tap, refinedet_bn.py:56-59)."""
+    state = _strip_module_prefix(_as_numpy(state))
+    params: Dict[str, dict] = {}
+    stats: Dict[str, dict] = {}
+
+    def put_conv(flax_name, torch_name, deconv=False):
+        w = state[torch_name + ".weight"]
+        kern = _deconv_kernel(w) if deconv else _conv_kernel(w)
+        params[flax_name] = {"kernel": kern,
+                             "bias": state[torch_name + ".bias"]}
+
+    def put_bn(flax_name, torch_name):
+        params[flax_name] = {"scale": state[f"{torch_name}.weight"],
+                             "bias": state[f"{torch_name}.bias"]}
+        stats[flax_name] = {"mean": state[f"{torch_name}.running_mean"],
+                            "var": state[f"{torch_name}.running_var"]}
+
+    for idx, name in BN_VGG_CONV_IDX.items():
+        put_conv(f"vgg_{name}", f"vgg.{idx}")
+        put_bn(f"vgg_{name}_bn", f"vgg.{idx + 1}")
+    for norm in ("conv4_3_L2Norm", "conv5_3_L2Norm", "conv3_3_L2Norm"):
+        if norm + ".weight" in state:
+            params[norm] = {"weight": state[norm + ".weight"]}
+    put_conv("extra_conv1", "extras.0")
+    put_bn("extra_conv1_bn", "extras.1")
+    put_conv("extra_conv2", "extras.3")
+    put_bn("extra_conv2_bn", "extras.4")
+    for i in range(num_sources):
+        put_conv(f"arm_loc{i}", f"arm_loc.{i}")
+        put_conv(f"arm_conf{i}", f"arm_conf.{i}")
+        put_conv(f"odm_loc{i}", f"odm_loc.{i}")
+        put_conv(f"odm_conf{i}", f"odm_conf.{i}")
+        put_conv(f"tcb0_{i}_conv1", f"tcb0.{3 * i}")
+        put_conv(f"tcb0_{i}_conv2", f"tcb0.{3 * i + 2}")
+        put_conv(f"tcb2_{i}_conv", f"tcb2.{3 * i + 1}")
+        if i < num_sources - 1:
+            put_conv(f"tcb1_{i}_deconv", f"tcb1.{i}", deconv=True)
+    return {"params": params, "batch_stats": stats}
+
+
 def vgg16_reducedfc_to_flax(state: Mapping) -> Dict[str, dict]:
     """Convert the vgg16_reducedfc.pth backbone file (keys '0.weight' ...
     '33.weight', i.e. a bare vgg ModuleList state_dict) to the flax

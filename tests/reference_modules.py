@@ -25,12 +25,23 @@ import types
 
 REFERENCE_ROOT = "/root/reference"
 
+def _noop(*args, **kwargs):
+    return None
+
+
 _FAKES = {
     "torchvision": {},
     "torchvision.transforms": {},
     "pycocotools": {},
     "pycocotools.coco": {"COCO": object},
     "pycocotools.cocoeval": {"COCOeval": object},
+    # refinedet_bn.py imports mmcv at module level; DeformConv2d is used
+    # only by the dead adm_multibox path and the init fns only by
+    # init_weights, neither exercised by the parity tests.
+    "mmcv": {},
+    "mmcv.ops": {"DeformConv2d": object},
+    "mmcv.cnn": {"normal_init": _noop, "kaiming_init": _noop,
+                 "constant_init": _noop, "xavier_init": _noop},
 }
 
 
@@ -69,6 +80,9 @@ def load_reference():
     import utils.augmentations as augmentations  # noqa: E402
     from layers.functions.detection import Detect  # noqa: E402
     from layers.modules.multibox_loss import MultiBoxLoss  # noqa: E402
+    import models.refinedet_bn as refinedet_bn  # noqa: E402
+
+    ns.refinedet_bn = refinedet_bn
 
     ns.Detect = Detect
     ns.MultiBoxLoss = MultiBoxLoss

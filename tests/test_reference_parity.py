@@ -256,6 +256,61 @@ def test_detect_nms_mode_parity(priors):
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("train_mode", [False, True])
+def test_bn_variant_forward_parity(train_mode):
+    """BN-variant forward parity vs models/refinedet_bn.py (built with
+    backbone_dict=dict(bn=True)): one state_dict (convs + BN scale/bias +
+    running stats) into both nets. eval mode exercises running-average
+    normalization; train mode exercises batch-statistics normalization.
+    (flax updates the running var with the biased batch variance vs
+    torch's unbiased — at N=2*40*40+ per channel the relative gap is
+    <1e-4 and normalization itself is biased in both, so outputs agree.)
+
+    Size 512: the reference's BN builder only works at 512/896 — its
+    ``arm`` channel table (refinedet_bn.py:370-373) has no '320' entry,
+    so build_refinedet('train', 320, ..., bn=True) raises KeyError in
+    the reference itself. Our use_bn=True 320 variant is beyond-reference
+    and covered by tests/test_model.py.
+    """
+    from refinedet_tpu.models.torch_import import torch_state_dict_to_flax_bn
+
+    torch.manual_seed(3)
+    num_classes = 4
+    ref_net = REF.refinedet_bn.build_refinedet(
+        "train", 512, num_classes, backbone_dict=dict(bn=True))
+    # perturb BN params/stats away from their (1, 0) / (0, 1) defaults so
+    # the comparison actually exercises the affine + running-stat paths
+    with torch.no_grad():
+        for m in ref_net.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.weight.uniform_(0.5, 1.5)
+                m.bias.uniform_(-0.3, 0.3)
+                m.running_mean.uniform_(-0.5, 0.5)
+                m.running_var.uniform_(0.5, 2.0)
+    ref_net.train(train_mode)
+    variables = torch_state_dict_to_flax_bn(ref_net.state_dict())
+
+    jmodel = build_refinedet("train", 512, num_classes, use_bn=True)
+    rng = np.random.RandomState(4)
+    x = (rng.randn(2, 512, 512, 3) * 20).astype(np.float32)
+    with torch.no_grad():
+        t_out = ref_net(torch.from_numpy(
+            np.ascontiguousarray(x.transpose(0, 3, 1, 2))))
+    if train_mode:
+        j_out, _ = jmodel.raw_forward(variables, jnp.asarray(x),
+                                      train=True, mutable=["batch_stats"])
+    else:
+        j_out = jmodel.raw_forward(variables, jnp.asarray(x))
+
+    for name, t, j in zip(("arm_loc", "arm_conf", "odm_loc", "odm_conf"),
+                          t_out, j_out):
+        t, j = t.numpy(), np.asarray(j)
+        assert t.shape == j.shape, name
+        err = np.abs(t - j).max() / (np.abs(t).max() + 1e-6)
+        assert err < 5e-4, (name, err)
+
+
+@pytest.mark.slow
 def test_one_train_step_equivalence():
     """THE composite train-parity claim: identical weights + identical
     batch through BOTH full train steps — reference (torch forward,
