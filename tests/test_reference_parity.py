@@ -311,6 +311,62 @@ def test_bn_variant_forward_parity(train_mode):
 
 
 @pytest.mark.slow
+def test_896_five_source_forward_parity(monkeypatch):
+    """896 five-source wiring vs the reference's sketched code path.
+
+    The reference 896 variant is DEAD CODE as shipped: refinedet_bn.py
+    carries full 896 builder tables (:347-375) but data/config.py has no
+    '896' anchor entry, so RefineDet.__init__ raises KeyError. Injecting
+    this framework's 896 anchor config (the natural extension of the
+    320/512 rule) into the reference module lets its sketched path run —
+    and pins our five-source implementation (conv3_3 L2Norm tap, 5-level
+    TCB chain with step=4, extended anchor grid) to it numerically,
+    priors included."""
+    from refinedet_tpu.config import coco_refinedet
+    from refinedet_tpu.models.torch_import import torch_state_dict_to_flax_bn
+
+    cfg = coco_refinedet["896"]
+    ref_cfg_dict = dict(REF.coco_refinedet["512"])
+    ref_cfg_dict.update({
+        "num_classes": cfg.num_classes,
+        "feature_maps": list(cfg.feature_maps),
+        "min_dim": cfg.min_dim,
+        "steps": list(cfg.steps),
+        "min_sizes": list(cfg.min_sizes),
+        "max_sizes": list(cfg.max_sizes),
+        "aspect_ratios": [list(a) for a in cfg.aspect_ratios],
+        "name": "RefineDet_COCO_896",
+    })
+    monkeypatch.setitem(REF.refinedet_bn.coco_refinedet, "896",
+                        ref_cfg_dict)
+
+    torch.manual_seed(6)
+    num_classes = 2
+    ref_net = REF.refinedet_bn.build_refinedet(
+        "train", 896, num_classes, backbone_dict=dict(bn=True))
+    ref_net.eval()
+    variables = torch_state_dict_to_flax_bn(ref_net.state_dict(),
+                                            num_sources=5)
+
+    jmodel = build_refinedet("train", 896, num_classes, use_bn=True)
+    rng = np.random.RandomState(8)
+    x = (rng.randn(1, 896, 896, 3) * 20).astype(np.float32)
+    with torch.no_grad():
+        t_out = ref_net(torch.from_numpy(
+            np.ascontiguousarray(x.transpose(0, 3, 1, 2))))
+    j_out = jmodel.raw_forward(variables, jnp.asarray(x))
+
+    np.testing.assert_allclose(np.asarray(jmodel.priors),
+                               t_out[4].numpy(), atol=1e-6)
+    for name, t, j in zip(("arm_loc", "arm_conf", "odm_loc", "odm_conf"),
+                          t_out, j_out):
+        t, j = t.numpy(), np.asarray(j)
+        assert t.shape == j.shape, name
+        err = np.abs(t - j).max() / (np.abs(t).max() + 1e-6)
+        assert err < 5e-4, (name, err)
+
+
+@pytest.mark.slow
 def test_one_train_step_equivalence():
     """THE composite train-parity claim: identical weights + identical
     batch through BOTH full train steps — reference (torch forward,
