@@ -12,10 +12,20 @@ vs_baseline = value / PyTorch-CPU throughput of the architecturally
            number is measured here too (cached in .bench_torch_cpu.json).
 
 Extra diagnostics (batch-1 p50 latency, per-batch breakdown) go to stderr.
+
+Tunnel resilience (round-2 verdict item #2): the tunneled axon TPU backend
+can be transiently UNAVAILABLE (BENCH_r02 was rc 1 for exactly this), so
+the measurement runs in a child process with a bounded per-attempt timeout
+and up to MAX_ATTEMPTS retries with backoff; on final failure the parent
+prints a parseable ``{"metric": ..., "error": ...}`` JSON line instead of
+a traceback, so the driver can distinguish an infra outage from a code
+regression. A hung (vs failing) attempt is not retried — a dead-hang
+tunnel would eat the whole driver budget across retries.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -24,6 +34,9 @@ import numpy as np
 BATCH = 128  # throughput-optimal on v5e (see sweep: 8->1146, 128->1941 img/s)
 WARMUP = 3
 ITERS = 20
+MAX_ATTEMPTS = 3
+RETRY_BACKOFF_S = 60
+ATTEMPT_TIMEOUT_S = 600
 TORCH_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            ".bench_torch_cpu.json")
 
@@ -156,7 +169,11 @@ def measure_torch_cpu():
     return ips
 
 
-def main():
+METRIC = "refinedet320_inference_throughput"
+
+
+def run_measure():
+    """Child mode: do the actual measurement, print ONE JSON line."""
     jax_ips = measure_jax()
     try:
         torch_ips = measure_torch_cpu()
@@ -165,12 +182,69 @@ def main():
         torch_ips = None
     vs = (jax_ips / torch_ips) if torch_ips else None
     print(json.dumps({
-        "metric": "refinedet320_inference_throughput",
+        "metric": METRIC,
         "value": round(jax_ips, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs, 2) if vs else None,
-    }))
+    }), flush=True)
+
+
+def _parse_last_json(text: str):
+    for line in reversed(text.splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    return None
+
+
+def main():
+    """Parent mode: run the measurement in a child process (fresh JAX
+    backend state per attempt) with retry on failure."""
+    me = os.path.abspath(__file__)
+    last_err = "unknown"
+    for attempt in range(1, MAX_ATTEMPTS + 1):
+        log(f"bench attempt {attempt}/{MAX_ATTEMPTS}")
+        t0 = time.time()
+        try:
+            proc = subprocess.run(
+                [sys.executable, me, "--measure"], stdout=subprocess.PIPE,
+                text=True, timeout=ATTEMPT_TIMEOUT_S)
+        except subprocess.TimeoutExpired:
+            # A hung backend init will hang on retry too; bail with a
+            # structured error rather than burning MAX_ATTEMPTS timeouts.
+            last_err = (f"attempt hung (> {ATTEMPT_TIMEOUT_S}s), "
+                        "likely dead TPU tunnel; not retrying")
+            log(last_err)
+            break
+        out = _parse_last_json(proc.stdout or "")
+        if proc.returncode == 0 and out and out.get("value") is not None:
+            print(json.dumps(out), flush=True)
+            return 0
+        tail = "\n".join((proc.stdout or "").strip().splitlines()[-3:])
+        last_err = (f"rc={proc.returncode} after {time.time() - t0:.0f}s"
+                    + (f": {tail}" if tail else ""))
+        log(f"attempt {attempt} failed: {last_err}")
+        if attempt < MAX_ATTEMPTS:
+            log(f"retrying in {RETRY_BACKOFF_S}s")
+            time.sleep(RETRY_BACKOFF_S)
+    print(json.dumps({"metric": METRIC, "value": None,
+                      "unit": "images/sec/chip", "vs_baseline": None,
+                      "error": last_err[:500]}), flush=True)
+    return 1
 
 
 if __name__ == "__main__":
-    main()
+    if "--measure" in sys.argv:
+        try:
+            run_measure()
+        except Exception as e:  # structured failure for the parent's parser
+            log(f"measurement failed: {type(e).__name__}: {e}")
+            print(json.dumps({"metric": METRIC, "value": None,
+                              "error": f"{type(e).__name__}: {e}"[:500]}),
+                  flush=True)
+            sys.exit(1)
+    else:
+        sys.exit(main())

@@ -104,7 +104,10 @@ def main():
     aps = evaluate_voc(all_boxes, dataset, VOC_CLASSES,
                        use_07_metric=args.use_07_metric,
                        det_shift=args.det_shift)
-    print(f"mAP: {aps['mAP']:.4f}")
+    # det_shift printed so logs are self-describing: 1.0 reproduces the
+    # reference chain's 1-based-result-file vs 0-based-GT offset
+    # (eval_refinedet_voc.py:160-162,117-120); --det_shift 0 opts out.
+    print(f"mAP: {aps['mAP']:.4f} (det_shift={args.det_shift})")
     return aps
 
 

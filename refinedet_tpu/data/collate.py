@@ -35,6 +35,33 @@ def pad_targets(boxes: np.ndarray, labels: np.ndarray,
     return b, l, v
 
 
+def pad_batch(batch: Batch, batch_size: int) -> Batch:
+    """Pad a partial batch to ``batch_size`` with all-invalid samples.
+
+    Restores the reference's trailing-partial-batch epoch semantics
+    (``epoch_size = math.ceil(len(dataset)/batch_size)``,
+    ``/root/reference/train_refinedet.py:193``) under static shapes: a
+    padded sample has ``valid`` all-False, so matching yields zero
+    positives, hard-negative mining selects ``3*0 = 0`` negatives, and the
+    losses normalize by the batch-total positive count — the padded rows
+    contribute exactly zero loss AND zero gradient, making the padded
+    full-size step numerically identical to the reference's partial batch
+    (tested in tests/test_trainer.py). Only BN batch statistics see the
+    zero images (the BN variant's running stats on the one tail step per
+    epoch differ slightly from a true partial batch; see PARITY.md).
+    """
+    n = batch.images.shape[0]
+    if n >= batch_size:
+        return batch
+
+    def z(a: np.ndarray) -> np.ndarray:
+        pad = np.zeros((batch_size - n,) + a.shape[1:], a.dtype)
+        return np.concatenate([a, pad], axis=0)
+
+    return Batch(z(batch.images), z(batch.boxes), z(batch.labels),
+                 z(batch.valid))
+
+
 def detection_collate(samples: Sequence[Tuple[np.ndarray, np.ndarray,
                                               np.ndarray]],
                       max_boxes: int = 60) -> Batch:

@@ -21,7 +21,7 @@ from typing import Callable, Iterator, Optional, Sequence
 
 import numpy as np
 
-from refinedet_tpu.data.collate import Batch, detection_collate
+from refinedet_tpu.data.collate import Batch, detection_collate, pad_batch
 
 # Worker-process state for use_processes=True (reference-style worker
 # processes, torch DataLoader num_workers semantics). The dataset is
@@ -49,8 +49,11 @@ class DataLoader:
     """Shuffling, prefetching batch loader over a map-style dataset.
 
     dataset[i] must return (image, boxes, labels). Epoch order is
-    deterministic given (seed, epoch). Drops the last partial batch
-    (static shapes; mirrors steady-state training).
+    deterministic given (seed, epoch). With ``drop_last=False`` (the
+    Trainer's setting, matching the reference's ceil epoch_size,
+    train_refinedet.py:193) the trailing partial batch is padded to
+    ``batch_size`` with all-invalid samples — still static shapes, and the
+    padding contributes zero loss/gradient (see collate.pad_batch).
     """
 
     def __init__(self, dataset, batch_size: int, max_boxes: int = 60,
@@ -152,6 +155,8 @@ class DataLoader:
                                             (b + 1) * self.batch_size]
                         samples = list(pool.map(getter, batch_idx))
                         batch = detection_collate(samples, self.max_boxes)
+                        if len(batch_idx) < self.batch_size:
+                            batch = pad_batch(batch, self.batch_size)
                         if self.device_put is not None:
                             batch = self.device_put(batch)
                         if not put_or_stop(batch):

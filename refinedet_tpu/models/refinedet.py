@@ -143,7 +143,8 @@ class RefineDet(nn.Module):
                 x = nn.relu(x)
                 if name == "conv3_3" and self.size == 896:
                     # Five-source variant (refinedet_bn.py:56-59,108-112):
-                    # an extra stride-8 source tapped at conv3_3.
+                    # an extra stride-4 source tapped at conv3_3
+                    # (fm 224 = 896/4).
                     sources.append(
                         L2Norm(256, 10.0, dtype=self.dtype,
                                name="conv3_3_L2Norm")(x))

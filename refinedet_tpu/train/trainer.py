@@ -77,10 +77,14 @@ class Trainer:
             seed=train_cfg.seed, device_put=stage,
             use_processes=train_cfg.worker_processes,
             shard_id=distributed.process_index(),
-            num_shards=distributed.process_count())
-        # The loader drops the trailing partial batch (reference does too:
-        # epoch_size = len(dataset) // batch_size, train_refinedet.py:189)
-        # — epoch_size must match the steps the loader actually yields or
+            num_shards=distributed.process_count(),
+            drop_last=False)
+        # The reference KEEPS the trailing partial batch (epoch_size =
+        # math.ceil(len(dataset)/batch_size), train_refinedet.py:193).
+        # Under static shapes the loader pads that batch with all-invalid
+        # samples (zero loss/gradient, collate.pad_batch) — exact ceil
+        # epoch/LR-boundary semantics at the same cached program shape.
+        # epoch_size must match the steps the loader actually yields or
         # LR boundaries / resume math / ETA all drift.
         self.epoch_size = len(self.loader)
         self.max_iter = train_cfg.max_epoch * self.epoch_size

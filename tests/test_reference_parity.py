@@ -451,6 +451,277 @@ def test_one_train_step_equivalence():
     assert checked > 50  # every conv kernel/bias + L2Norm scales
 
 
+def test_priorbox_512_parity():
+    """PriorBox equality at 512 (16,320 priors, data/config.py:83) vs the
+    real reference — closes the plain-512 hole in the size/variant parity
+    matrix (the configuration behind the reference's 80.50 mAP headline)."""
+    ref_p = REF.PriorBox(REF.voc_refinedet["512"]).forward().numpy()
+    mine = np.asarray(generate_priors(voc_refinedet["512"]))
+    assert ref_p.shape == mine.shape == (16320, 4)
+    np.testing.assert_allclose(mine, ref_p, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_full_model_forward_parity_512():
+    """Plain (non-BN) RefineDet512 forward parity: one random state_dict
+    into BOTH the reference net (models/refinedet.py:278-291, size=512)
+    and the Flax model; raw train-phase heads and the 16,320 priors must
+    agree. Completes the {320, 512, 896} x {plain, BN-where-defined}
+    reference-direct matrix (round-2 verdict item #4)."""
+    torch.manual_seed(2)
+    ref_net = REF.refinedet.build_refinedet("train", 512, 21).eval()
+    jmodel = build_refinedet("train", 512, 21)
+    variables = {"params": torch_state_dict_to_flax(ref_net.state_dict())}
+
+    rng = np.random.RandomState(2)
+    x = (rng.randn(1, 512, 512, 3) * 30).astype(np.float32)
+    with torch.no_grad():
+        t_out = ref_net(torch.from_numpy(
+            np.ascontiguousarray(x.transpose(0, 3, 1, 2))))
+    j_out = jmodel.raw_forward(variables, jnp.asarray(x))
+
+    np.testing.assert_allclose(np.asarray(jmodel.priors),
+                               t_out[4].numpy(), atol=1e-6)
+    for name, t, j in zip(("arm_loc", "arm_conf", "odm_loc", "odm_conf"),
+                          t_out, j_out):
+        t, j = t.numpy(), np.asarray(j)
+        assert t.shape == j.shape, name
+        err = np.abs(t - j).max() / (np.abs(t).max() + 1e-6)
+        assert err < 2e-4, (name, err)
+
+
+@pytest.mark.slow
+def test_nstep_train_equivalence():
+    """Multi-step training equivalence vs the actual reference (round-2
+    verdict item #3): 9 consecutive steps on shared fresh batches through
+    BOTH train loops, with the REAL per-iteration LR schedule — the
+    5-epoch linear warmup ramp AND both gamma-decay boundaries
+    (train_refinedet.py:280-292 ``adjust_learning_rate`` + the stepvalues
+    logic at :197,233-235; epoch_size=1, max_epoch=9 puts warmup at steps
+    0-4 and the 2/3- and 8/9-boundaries at steps 6 and 8). Pins what
+    single-step parity cannot: momentum accumulation across steps and the
+    schedule application order."""
+    from refinedet_tpu.config import TrainConfig
+    from refinedet_tpu.train import (make_lr_schedule, make_optimizer,
+                                     make_train_step)
+    from refinedet_tpu.train.train_step import TrainState
+
+    torch.manual_seed(11)
+    num_classes, b, max_boxes = 4, 2, 4
+    initial_lr, momentum, wd, gamma = 0.005, 0.9, 5e-4, 0.1
+    n_steps, epoch_size, max_epoch, warmup_epoch = 9, 1, 9, 5
+
+    ref_net = REF.refinedet.build_refinedet("train", 320, num_classes)
+    ref_net.train()
+    params0 = jax.tree.map(np.array,
+                           torch_state_dict_to_flax(ref_net.state_dict()))
+
+    rng = np.random.RandomState(17)
+    batches = []
+    for _ in range(n_steps):
+        x = (rng.randn(b, 320, 320, 3) * 30).astype(np.float32)
+        gts = [_rand_gt(rng, rng.randint(1, max_boxes + 1))
+               for _ in range(b)]
+        batches.append((x, gts))
+
+    # --- reference loop (exact driver logic, constants from the test) ---
+    opt = torch.optim.SGD(ref_net.parameters(), lr=initial_lr,
+                          momentum=momentum, weight_decay=wd)
+    arm_crit = REF.RefineDetMultiBoxLoss(2, 0.5, True, 0, True, 3, 0.5,
+                                         False, use_gpu=False)
+    odm_crit = REF.RefineDetMultiBoxLoss(num_classes, 0.5, True, 0, True,
+                                         3, 0.5, False, use_gpu=False,
+                                         use_ARM=True)
+    stepvalues = (max_epoch * 2 // 3 * epoch_size,
+                  max_epoch * 8 // 9 * epoch_size,
+                  max_epoch * epoch_size)
+    step_index, epoch = 0, 0
+    ref_losses, ref_lrs = [], []
+    for iteration in range(n_steps):
+        if iteration % epoch_size == 0:
+            epoch += 1
+        if iteration in stepvalues:
+            step_index += 1
+        if epoch <= warmup_epoch:
+            lr = 1e-6 + (initial_lr - 1e-6) * iteration / (
+                epoch_size * warmup_epoch)
+        else:
+            lr = initial_lr * (gamma ** step_index)
+        for group in opt.param_groups:
+            group["lr"] = lr
+        ref_lrs.append(lr)
+        x, gts = batches[iteration]
+        targets = [torch.from_numpy(np.concatenate(
+            [bx, (lb + 1)[:, None].astype(np.float32)], 1))
+            for bx, lb in gts]
+        out = ref_net(torch.from_numpy(
+            np.ascontiguousarray(x.transpose(0, 3, 1, 2))))
+        la, ca = arm_crit(out, targets)
+        lo, co = odm_crit(out, targets)
+        loss = la + ca + lo + co
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        ref_losses.append(float(loss))
+    ref_after = jax.tree.map(
+        np.array, torch_state_dict_to_flax(ref_net.state_dict()))
+
+    # --- our loop: same schedule as a pure function of the step ---
+    sched = make_lr_schedule(initial_lr, gamma, epoch_size, max_epoch,
+                             warmup_epochs=warmup_epoch)
+    for i, ref_lr in enumerate(ref_lrs):  # schedule itself must agree
+        np.testing.assert_allclose(float(sched(i)), ref_lr, rtol=1e-6)
+    model = build_refinedet("train", 320, num_classes)
+    tx = make_optimizer(sched, momentum=momentum, weight_decay=wd)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params0,
+                       opt_state=tx.init(params0), batch_stats=None)
+    step = make_train_step(model, tx, TrainConfig(batch_size=b,
+                                                  max_boxes=max_boxes))
+    our_losses = []
+    for x, gts in batches:
+        gt_boxes = jnp.asarray(np.stack(
+            [_pad(bx, max_boxes) for bx, _ in gts]))
+        gt_labels = jnp.asarray(np.stack(
+            [_pad((lb + 1).astype(np.int32), max_boxes) for _, lb in gts]))
+        gt_valid = jnp.asarray(np.stack(
+            [np.arange(max_boxes) < len(bx) for bx, _ in gts]))
+        state, metrics = step(state, jnp.asarray(x), gt_boxes, gt_labels,
+                              gt_valid)
+        our_losses.append(float(metrics["loss"]))
+
+    # per-step losses track the reference's trajectory
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=5e-3,
+                               atol=1e-4)
+    # final params match within an accumulation-scaled tolerance
+    flat_ref0 = jax.tree_util.tree_leaves_with_path(params0)
+    flat_ref1 = dict(jax.tree_util.tree_leaves_with_path(ref_after))
+    flat_new = dict(jax.tree_util.tree_leaves_with_path(state.params))
+    checked = 0
+    for path, w0 in flat_ref0:
+        d_ref = np.asarray(flat_ref1[path]) - np.asarray(w0)
+        d_our = np.asarray(flat_new[path]) - np.asarray(w0)
+        denom = np.linalg.norm(d_ref) + 1e-12
+        rel = np.linalg.norm(d_our - d_ref) / denom
+        name = jax.tree_util.keystr(path)
+        assert rel < 5e-2, (name, rel, float(denom))
+        checked += 1
+    assert checked > 50
+
+
+@pytest.mark.slow
+def test_bn_nstep_batch_stats_drift():
+    """BN-variant multi-step pinning: 3 train steps through the reference
+    BN-512 net and our use_bn train step on shared weights/batches; the
+    running statistics (torch running_mean/running_var vs flax
+    batch_stats) must drift identically. Catches momentum-convention and
+    update-order bugs that forward parity at fixed stats cannot. (torch
+    folds the UNBIASED batch variance into running_var vs flax's biased —
+    at N=4096+ elements per channel the relative gap is <3e-4/step.)"""
+    from refinedet_tpu.config import TrainConfig
+    from refinedet_tpu.models.torch_import import torch_state_dict_to_flax_bn
+    from refinedet_tpu.train import make_optimizer, make_train_step
+    from refinedet_tpu.train.train_step import TrainState
+
+    torch.manual_seed(13)
+    num_classes, b, max_boxes, n_steps = 2, 1, 3, 3
+    lr, momentum, wd = 1e-3, 0.9, 5e-4
+
+    ref_net = REF.refinedet_bn.build_refinedet(
+        "train", 512, num_classes, backbone_dict=dict(bn=True))
+    with torch.no_grad():  # move stats off the (0,1) fixed point
+        for m in ref_net.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.5, 0.5)
+                m.running_var.uniform_(0.5, 2.0)
+    ref_net.train()
+    vars0 = jax.tree.map(np.array,
+                         torch_state_dict_to_flax_bn(ref_net.state_dict()))
+
+    rng = np.random.RandomState(19)
+    batches = []
+    for _ in range(n_steps):
+        x = (rng.randn(b, 512, 512, 3) * 20).astype(np.float32)
+        # num_classes=2 -> the only foreground id is 1 (0-based label 0)
+        gts = [(bx, np.zeros_like(lb)) for bx, lb in
+               (_rand_gt(rng, rng.randint(1, max_boxes + 1))
+                for _ in range(b))]
+        batches.append((x, gts))
+
+    opt = torch.optim.SGD(ref_net.parameters(), lr=lr, momentum=momentum,
+                          weight_decay=wd)
+    arm_crit = REF.RefineDetMultiBoxLoss(2, 0.5, True, 0, True, 3, 0.5,
+                                         False, use_gpu=False)
+    odm_crit = REF.RefineDetMultiBoxLoss(num_classes, 0.5, True, 0, True,
+                                         3, 0.5, False, use_gpu=False,
+                                         use_ARM=True)
+    ref_losses, ref_stats_per_step = [], []
+    for x, gts in batches:
+        targets = [torch.from_numpy(np.concatenate(
+            [bx, (lb + 1)[:, None].astype(np.float32)], 1))
+            for bx, lb in gts]
+        out = ref_net(torch.from_numpy(
+            np.ascontiguousarray(x.transpose(0, 3, 1, 2))))
+        la, ca = arm_crit(out, targets)
+        lo, co = odm_crit(out, targets)
+        loss = la + ca + lo + co
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        ref_losses.append(float(loss))
+        ref_stats_per_step.append(jax.tree.map(
+            np.array,
+            torch_state_dict_to_flax_bn(ref_net.state_dict()))
+            ["batch_stats"])
+
+    model = build_refinedet("train", 512, num_classes, use_bn=True)
+    tx = make_optimizer(lambda s: lr, momentum=momentum, weight_decay=wd)
+    state = TrainState(step=jnp.zeros((), jnp.int32),
+                       params=vars0["params"],
+                       opt_state=tx.init(vars0["params"]),
+                       batch_stats=vars0["batch_stats"])
+    step = make_train_step(model, tx, TrainConfig(batch_size=b,
+                                                  max_boxes=max_boxes))
+    our_losses, our_stats_per_step = [], []
+    for x, gts in batches:
+        gt_boxes = jnp.asarray(np.stack(
+            [_pad(bx, max_boxes) for bx, _ in gts]))
+        gt_labels = jnp.asarray(np.stack(
+            [_pad((lb + 1).astype(np.int32), max_boxes) for _, lb in gts]))
+        gt_valid = jnp.asarray(np.stack(
+            [np.arange(max_boxes) < len(bx) for bx, _ in gts]))
+        state, metrics = step(state, jnp.asarray(x), gt_boxes, gt_labels,
+                              gt_valid)
+        our_losses.append(float(metrics["loss"]))
+        our_stats_per_step.append(jax.tree.map(np.asarray,
+                                               state.batch_stats))
+
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=1e-2,
+                               atol=1e-3)
+
+    def stats_err(step_idx):
+        flat_ref = dict(jax.tree_util.tree_leaves_with_path(
+            ref_stats_per_step[step_idx]))
+        flat_our = jax.tree_util.tree_leaves_with_path(
+            our_stats_per_step[step_idx])
+        assert len(flat_our) > 20
+        return [(jax.tree_util.keystr(p),
+                 np.abs(np.asarray(o) - flat_ref[p]).max()
+                 / (np.abs(flat_ref[p]).max() + 1e-6))
+                for p, o in flat_our]
+
+    # After step 1 both sides folded batch statistics of IDENTICAL inputs
+    # through identical initial weights — any momentum-convention or
+    # update-order bug shows up here at full size (torch's unbiased-var
+    # fold contributes <2e-3 at the smallest N=64-per-channel extras map).
+    for name, err in stats_err(0):
+        assert err < 5e-3, ("step1", name, err)
+    # After 3 steps the inputs to each BN have themselves diverged by the
+    # accumulated (tolerance-bounded) parameter deltas, so only gross
+    # divergence is a bug; a momentum mixup (0.9 vs 0.1) would show ~9x.
+    for name, err in stats_err(n_steps - 1):
+        assert err < 5e-2, ("step3", name, err)
+
+
 @pytest.mark.slow
 def test_full_model_forward_parity():
     """One random state_dict into BOTH the reference RefineDet and the Flax

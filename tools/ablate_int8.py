@@ -88,19 +88,32 @@ def run_seed(seed, size, steps, batch):
 
     out = {"bf16": ap_of(test_model, variables)}
 
-    # noise control: perturbation matched to the int8 weight-quant step
-    rng = np.random.RandomState(seed)
-    pn = dict(variables["params"])
-    for name, leaves in variables["params"].items():
-        if "kernel" not in leaves or name.startswith(("arm_", "odm_")) \
-                or name == "vgg_conv1_1" or "deconv" in name:
-            continue
-        w = np.asarray(leaves["kernel"], np.float32)
-        s = np.maximum(np.abs(w).max(axis=(0, 1, 2)) / 127.0, 1e-12)
-        pn[name] = dict(leaves)
-        pn[name]["kernel"] = jnp.asarray(
-            w + rng.uniform(-0.5, 0.5, w.shape).astype(np.float32) * s)
-    out["noise-ctl"] = ap_of(test_model, {"params": pn})
+    # Noise controls: perturbation matched to the int8 weight-quant step,
+    # one per quant config — each perturbs EXACTLY the layer set that the
+    # corresponding quant config actually quantizes (int8-default keeps
+    # DEFAULT_QUANT_SKIP's early-VGG convs in bf16, so its control must
+    # skip them too, or the noise floor is inflated and flatters the
+    # int8-default delta).
+    from refinedet_tpu.quant import DEFAULT_QUANT_SKIP
+
+    def noise_params(extra_skip):
+        rng = np.random.RandomState(seed)
+        pn = dict(variables["params"])
+        for name, leaves in variables["params"].items():
+            if "kernel" not in leaves or name.startswith(("arm_", "odm_")) \
+                    or name == "vgg_conv1_1" or "deconv" in name \
+                    or name in extra_skip:
+                continue
+            w = np.asarray(leaves["kernel"], np.float32)
+            s = np.maximum(np.abs(w).max(axis=(0, 1, 2)) / 127.0, 1e-12)
+            pn[name] = dict(leaves)
+            pn[name]["kernel"] = jnp.asarray(
+                w + rng.uniform(-0.5, 0.5, w.shape).astype(np.float32) * s)
+        return {"params": pn}
+
+    out["noise-ctl-default"] = ap_of(test_model,
+                                     noise_params(DEFAULT_QUANT_SKIP))
+    out["noise-ctl-full"] = ap_of(test_model, noise_params(()))
 
     calib = np.stack([bt(ds.pull_image(i)[0]) for i in range(16)])
     for tag, skip in (("int8-default", None), ("int8-full", ())):

@@ -7,10 +7,13 @@ through the dev tunnel, anything less gets elided; see
 Besides the full serving path (backbone + heads + softmax + cascade
 decode — the reference's live Detect_RefineDet path,
 /root/reference/layers/functions/detection_refinedet.py:27-65), also
-times the heads-only forward (convs, the part int8 accelerates). The
-difference is the precision-independent decode/softmax share, which
-explains why 512's int8 speedup trails 320's: the share grows with the
-prior count (6375 -> 16320).
+times the heads-only forward (convs, the part int8 accelerates) as a
+probe of the precision-independent decode/softmax share. Measured
+result: that share is ~0% at BOTH sizes (XLA fuses/overlaps the
+post-processing with the convs; heads-only speedup == full-path
+speedup). The earlier observation of 512's int8 gain trailing 320's
+was a batch-occupancy artifact at b64 — at b128 512 reaches 1.45x,
+matching 320 (see README "Performance" table).
 
 Uses random-init weights + max-calibration on a random batch; accuracy of
 the quantized path is covered by tests/test_quant.py (closeness),
