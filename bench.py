@@ -34,9 +34,9 @@ import numpy as np
 BATCH = 128  # throughput-optimal on v5e (see sweep: 8->1146, 128->1941 img/s)
 WARMUP = 3
 ITERS = 20
-MAX_ATTEMPTS = 3
-RETRY_BACKOFF_S = 60
-ATTEMPT_TIMEOUT_S = 600
+MAX_ATTEMPTS = int(os.environ.get("BENCH_MAX_ATTEMPTS", "3"))
+RETRY_BACKOFF_S = float(os.environ.get("BENCH_RETRY_BACKOFF_S", "60"))
+ATTEMPT_TIMEOUT_S = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT_S", "600"))
 TORCH_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            ".bench_torch_cpu.json")
 
@@ -174,6 +174,18 @@ METRIC = "refinedet320_inference_throughput"
 
 def run_measure():
     """Child mode: do the actual measurement, print ONE JSON line."""
+    # Harness self-test hooks (tests/test_bench_harness.py): exercise the
+    # parent's retry/parse/error plumbing without touching a backend.
+    selftest = os.environ.get("BENCH_SELFTEST")
+    if selftest == "ok":
+        print(json.dumps({"metric": METRIC, "value": 1234.5,
+                          "unit": "images/sec/chip", "vs_baseline": 10.0}),
+              flush=True)
+        return
+    if selftest == "fail":
+        raise RuntimeError("synthetic backend UNAVAILABLE (selftest)")
+    if selftest == "hang":
+        time.sleep(3600)
     jax_ips = measure_jax()
     try:
         torch_ips = measure_torch_cpu()
