@@ -91,15 +91,76 @@ class QuantConv(nn.Module):
         return out.astype(self.dtype)
 
 
+@jax.custom_vjp
+def _pool2x2_slice_bwd(x: jnp.ndarray) -> jnp.ndarray:
+    return nn.max_pool(x, (2, 2), strides=(2, 2))
+
+
+def _pool2x2_fwd(x):
+    y = nn.max_pool(x, (2, 2), strides=(2, 2))
+    return y, (x, y)
+
+
+def _pool2x2_bwd(res, g):
+    """Exact first-tie-wins 2x2s2 maxpool backward without select_and_scatter.
+
+    XLA lowers reduce_window's VJP to select_and_scatter, which the train
+    -step trace measured at ~9% of the b128 step (tools/TRACE_NOTES.md).
+    For NON-OVERLAPPING 2x2 stride-2 windows the backward is expressible
+    as 4 strided slices + compares + an interleave — all fusible
+    elementwise traffic. Tie semantics match select_and_scatter (and torch
+    MaxPool2d): the first window element in row-major order ((0,0), (0,1),
+    (1,0), (1,1)) that equals the max receives the whole gradient
+    (equality against y is exact: the max IS one of the four inputs).
+    """
+    x, y = res
+    x00 = x[:, 0::2, 0::2]
+    x01 = x[:, 0::2, 1::2]
+    x10 = x[:, 1::2, 0::2]
+    w00 = x00 == y
+    w01 = (x01 == y) & ~w00
+    w10 = (x10 == y) & ~(w00 | w01)
+    w11 = ~(w00 | w01 | w10)
+    zero = jnp.zeros_like(g)
+    g00 = jnp.where(w00, g, zero)
+    g01 = jnp.where(w01, g, zero)
+    g10 = jnp.where(w10, g, zero)
+    g11 = jnp.where(w11, g, zero)
+    b, h, w, c = g.shape
+    # interleave columns then rows: [B,h,w,2,C] -> [B,h,2w,C] -> [B,2h,2w,C]
+    row0 = jnp.stack([g00, g01], axis=3).reshape(b, h, 2 * w, c)
+    row1 = jnp.stack([g10, g11], axis=3).reshape(b, h, 2 * w, c)
+    out = jnp.stack([row0, row1], axis=2).reshape(b, 2 * h, 2 * w, c)
+    return (out,)
+
+
+_pool2x2_slice_bwd.defvjp(_pool2x2_fwd, _pool2x2_bwd)
+
+# Backward implementation switch, overridable for A/B measurement
+# (tools/bench_pool_backward.py): "select_scatter" = XLA's default
+# reduce_window VJP; "slice" = the custom first-tie-wins VJP above.
+# Measured on-chip (b128/320 full train step, chained timing):
+# select_scatter 222.9 ms/step vs slice 273.6 — the slice variant's
+# stack+reshape interleave costs more in layout copies than
+# select_and_scatter's ~9% share saves (same failure mode as the
+# reshape-based pooling probe, see CLAUDE.md), so the default stays
+# select_scatter and "slice" remains as a documented negative result.
+POOL_BACKWARD = "select_scatter"
+
+
 def max_pool_2x2(x: jnp.ndarray, ceil_mode: bool = False) -> jnp.ndarray:
     """2x2 stride-2 max pool over NHWC, with torch-style ceil_mode.
 
     ceil_mode pads the bottom/right edge with -inf so odd spatial dims round
-    up (torch MaxPool2d(ceil_mode=True), used for pool3 'C').
+    up (torch MaxPool2d(ceil_mode=True), used for pool3 'C'). All of the
+    reference's pools are 2x2 stride 2 (models/refinedet.py:177-188), so
+    the non-overlapping custom backward applies to every pool.
     """
     h, w = x.shape[1], x.shape[2]
     if ceil_mode and (h % 2 or w % 2):
         pad_h, pad_w = h % 2, w % 2
         x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)),
                     constant_values=-jnp.inf)
+    if POOL_BACKWARD == "slice":
+        return _pool2x2_slice_bwd(x)
     return nn.max_pool(x, (2, 2), strides=(2, 2))

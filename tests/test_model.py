@@ -87,3 +87,34 @@ def test_896_five_source_variant():
     arm_loc, arm_conf, odm_loc, odm_conf, priors = model.apply(params, x)
     assert arm_loc.shape == (1, p, 4)
     assert odm_conf.shape == (1, p, 21)
+
+
+def test_pool_backward_variants_bitwise_identical():
+    """The alternate slice-based 2x2 maxpool backward (kept as a measured
+    negative result, models/layers.py POOL_BACKWARD) must stay gradient-
+    bitwise-identical to XLA's select_and_scatter VJP — including on ties
+    (first window element in row-major order wins, the torch MaxPool2d
+    convention) and under ceil_mode's -inf edge padding."""
+    import refinedet_tpu.models.layers as layers
+
+    rng = np.random.RandomState(0)
+    # quantized values force ties inside 2x2 windows
+    x = np.round(rng.randn(2, 10, 12, 3).astype(np.float32) * 2) / 2
+    cases = [(False, x, rng.randn(2, 5, 6, 3).astype(np.float32)),
+             (True, x[:, :9, :11], rng.randn(2, 5, 6, 3).astype(np.float32))]
+    prev = layers.POOL_BACKWARD
+    try:
+        for ceil, xx, rr in cases:
+            grads = {}
+            for mode in ("select_scatter", "slice"):
+                layers.POOL_BACKWARD = mode
+
+                def f(a):
+                    return jnp.sum(layers.max_pool_2x2(a, ceil_mode=ceil)
+                                   * rr)
+
+                grads[mode] = np.asarray(jax.grad(f)(jnp.asarray(xx)))
+            np.testing.assert_array_equal(grads["slice"],
+                                          grads["select_scatter"])
+    finally:
+        layers.POOL_BACKWARD = prev
