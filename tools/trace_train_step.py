@@ -36,20 +36,42 @@ os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
 
 import numpy as np
 
-BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 128
-STEPS = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+_pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+BATCH = int(_pos[0]) if _pos and sys.argv[1] != "--summarize" else 128
+STEPS = int(_pos[1]) if len(_pos) > 1 and sys.argv[1] != "--summarize" else 3
+
+
+import re
+
+
+def opcode_of(name: str) -> str:
+    """Extract the HLO opcode from a long-form op string.
+
+    Names look like ``%fusion.689 = (bf16[...]{...}) fusion(f32[...]), ...``
+    or ``%copy.3 = bf16[...]{...} copy(bf16[...])`` — the opcode is the
+    first lowercase identifier applied to parentheses on the RHS (layout
+    annotations like T(8,128) / S(1) are uppercase, so they don't match).
+    """
+    rhs = name.split("=", 1)[-1]
+    m = re.search(r"[\s)]([a-z][a-z0-9\-_]*)\(", rhs)
+    return m.group(1) if m else "?"
 
 
 def categorize(name: str) -> str:
-    n = name.lower()
-    for key in ("convolution", "all-reduce", "copy", "transpose", "sort",
-                "scatter", "gather", "reduce", "dot"):
-        if key in n:
-            return key
-    if n.startswith(("fusion", "%fusion", "loop_", "input_", "output_")) \
-            or "fusion" in n:
-        return "fusion(other)"
-    return "other"
+    """Bucket an op for the summary split.
+
+    Keyed on the real opcode (an earlier version substring-matched the
+    whole op string, which mis-filed optimizer/weight-grad fusions whose
+    bodies mention 'copy' as layout copies). Fusions are split by their
+    name prefix (multiply_add_fusion, copy_fusion, ...) since that names
+    the dominant body op.
+    """
+    op = opcode_of(name)
+    if op != "fusion":
+        return op
+    m = re.match(r"%?([a-z0-9_.]+?)_?fusion", name.split("=", 1)[0].strip())
+    kind = m.group(1).rstrip("_.") if m and m.group(1) else ""
+    return f"fusion:{kind}" if kind else "fusion"
 
 
 def capture(logdir: str):
@@ -134,10 +156,26 @@ def summarize(logdir: str) -> str:
     out.append("\ntop 15 ops by accumulated device time:")
     for name, ms in sorted(by_op.items(), key=lambda kv: -kv[1])[:15]:
         out.append(f"  {ms:8.2f} ms  {name[:90]}")
+
+    # Where do the layout-change copies sit? True copy ops/copy-fusions
+    # only, grouped by shape+layout signature — the lead list for any
+    # layout-tuning attempt.
+    copies = defaultdict(float)
+    for name, ms in by_op.items():
+        cat = categorize(name)
+        if cat == "copy" or cat.startswith("fusion:copy"):
+            sig = name.split("=", 1)[-1].strip()[:86]
+            copies[sig] += ms
+    out.append("\ntop 10 copy signatures by accumulated device time:")
+    for sig, ms in sorted(copies.items(), key=lambda kv: -kv[1])[:10]:
+        out.append(f"  {ms:8.2f} ms  {sig}")
     return "\n".join(out)
 
 
 def main():
+    if len(sys.argv) > 2 and sys.argv[1] == "--summarize":
+        print(summarize(sys.argv[2]))  # re-analyze an existing trace dir
+        return
     logdir = tempfile.mkdtemp(prefix="trace_train_")
     capture(logdir)
     summary = summarize(logdir)
