@@ -1,0 +1,129 @@
+"""AOT serving artifacts (``refinedet_tpu/serve/export.py``).
+
+The artifact must reproduce the live inference path bit-for-bit (same
+XLA program, weights baked in), serve any batch size when exported with a
+symbolic batch dim, and fail loudly on format or batch mismatches. The
+baked-in path is the reference's live Detect_RefineDet output contract —
+raw (boxes, scores) with NMS deferred to the caller
+(/root/reference/layers/functions/detection_refinedet.py:27-65).
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from refinedet_tpu.models import build_refinedet  # noqa: E402
+from refinedet_tpu.serve import load_serving, save_serving  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    model = build_refinedet("test", 320, 2)
+    return model, model.init(jax.random.PRNGKey(0))
+
+
+def _imgs(rng, b):
+    return rng.randn(b, 320, 320, 3).astype(np.float32)
+
+
+def test_roundtrip_matches_live_model(tmp_path, model_and_vars):
+    model, variables = model_and_vars
+    path = str(tmp_path / "m.rdtpu")
+    meta = save_serving(model, variables, path, platforms=("cpu",))
+    assert meta["input_size"] == 320 and meta["num_classes"] == 2
+    assert meta["batch_size"] is None  # symbolic
+
+    serving = load_serving(path)
+    rng = np.random.RandomState(0)
+    img = _imgs(rng, 2)
+    got_b, got_s = serving(img)
+    want_b, want_s = model.apply(variables, jnp.asarray(img))
+    np.testing.assert_array_equal(np.asarray(got_b), np.asarray(want_b))
+    np.testing.assert_array_equal(np.asarray(got_s), np.asarray(want_s))
+
+
+def test_symbolic_batch_serves_any_size(tmp_path, model_and_vars):
+    model, variables = model_and_vars
+    path = str(tmp_path / "m.rdtpu")
+    save_serving(model, variables, path, platforms=("cpu",))
+    serving = load_serving(path)
+    rng = np.random.RandomState(1)
+    for b in (1, 3):
+        boxes, scores = serving(_imgs(rng, b))
+        assert boxes.shape == (b, 6375, 4)
+        assert scores.shape == (b, 6375, 2)
+
+
+def test_fixed_batch_guard(tmp_path, model_and_vars):
+    model, variables = model_and_vars
+    path = str(tmp_path / "m2.rdtpu")
+    meta = save_serving(model, variables, path, batch_size=2,
+                        platforms=("cpu",))
+    assert meta["batch_size"] == 2
+    serving = load_serving(path)
+    rng = np.random.RandomState(2)
+    serving(_imgs(rng, 2))  # exact batch OK
+    with pytest.raises(ValueError, match="exported for batch 2"):
+        serving(_imgs(rng, 1))
+
+
+def test_bad_magic_rejected(tmp_path):
+    path = tmp_path / "junk.rdtpu"
+    path.write_bytes(b"NOTANARTIFACT" * 4)
+    with pytest.raises(ValueError, match="not a refinedet-tpu"):
+        load_serving(str(path))
+
+
+def test_train_phase_rejected(model_and_vars):
+    _, variables = model_and_vars
+    train_model = build_refinedet("train", 320, 2)
+    with pytest.raises(ValueError, match="test"):
+        save_serving(train_model, variables, "/dev/null")
+
+
+def test_cli_full_circle_from_pth(tmp_path, model_and_vars):
+    """tools/export_serving.py end to end: Flax weights -> reference-format
+    .pth (torch_export) -> CLI loads it back through the eval driver's
+    loader -> serving artifact that matches the live model."""
+    from refinedet_tpu.models.torch_export import save_torch_checkpoint
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from export_serving import main as export_main
+
+    model, variables = model_and_vars
+    pth = str(tmp_path / "ckpt.pth")
+    save_torch_checkpoint(variables, pth)
+    out = str(tmp_path / "cli.rdtpu")
+    export_main(["--checkpoint", pth, "--out", out,
+                 "--input_size", "320", "--num_classes", "2",
+                 "--platforms", "cpu"])
+    serving = load_serving(out)
+    rng = np.random.RandomState(4)
+    img = _imgs(rng, 2)
+    got_b, got_s = serving(img)
+    want_b, want_s = model.apply(variables, jnp.asarray(img))
+    np.testing.assert_array_equal(np.asarray(got_b), np.asarray(want_b))
+    np.testing.assert_array_equal(np.asarray(got_s), np.asarray(want_s))
+
+
+def test_cross_platform_artifact_runs_on_cpu(tmp_path, model_and_vars):
+    """Default platforms=(tpu, cpu): lowering is cross-platform, so the
+    artifact produced on this CPU host must still execute on CPU."""
+    model, variables = model_and_vars
+    path = str(tmp_path / "xplat.rdtpu")
+    meta = save_serving(model, variables, path)
+    assert set(meta["platforms"]) == {"tpu", "cpu"}
+    serving = load_serving(path)
+    rng = np.random.RandomState(3)
+    img = _imgs(rng, 1)
+    got_b, _ = serving(img)
+    want_b, _ = model.apply(variables, jnp.asarray(img))
+    np.testing.assert_allclose(np.asarray(got_b), np.asarray(want_b),
+                               atol=1e-6)
