@@ -65,6 +65,10 @@ def parse_args():
                    help="with --int8 --trained_model: save the calibrated "
                         "int8 variables as an Orbax checkpoint here "
                         "(restores without recalibration)")
+    p.add_argument("--bias_correct", action="store_true",
+                   help="with --int8: fold the expected weight-rounding "
+                        "output error into each quantized conv's bias "
+                        "(DFQ-style, from the calibration input means)")
     p.add_argument("--show_image", action="store_true",
                    help="write per-image PNGs with GT (green) vs "
                         "detections >= --vis_thres (red) to "
@@ -185,13 +189,18 @@ def main():
                       "--calib_act_stat are ignored (scales were baked in "
                       "at --save_quantized time)")
                 return variables
-            amax = calibrate_amax(
-                model, variables,
-                calib_batches_from_dataset(
-                    dataset, BaseTransform(size, C.MEANS),
-                    args.calib_images, args.batch_size))
+            calib = calib_batches_from_dataset(
+                dataset, BaseTransform(size, C.MEANS),
+                args.calib_images, args.batch_size)
+            means = None
+            if args.bias_correct:
+                amax, means = calibrate_amax(model, variables, calib,
+                                             return_means=True)
+            else:
+                amax = calibrate_amax(model, variables, calib)
             return quantize_variables(eval_model, variables, amax,
-                                      act_stat=args.calib_act_stat)
+                                      act_stat=args.calib_act_stat,
+                                      means=means)
 
     evaluator = Evaluator(eval_model, dataset, cfg,
                           BaseTransform(size, C.MEANS),

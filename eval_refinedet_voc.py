@@ -56,6 +56,10 @@ def parse_args():
     p.add_argument("--quant_skip", default=None,
                    help="comma-separated conv names kept bf16 under --int8 "
                         "(default: quant.DEFAULT_QUANT_SKIP)")
+    p.add_argument("--bias_correct", action="store_true",
+                   help="with --int8: fold the expected weight-rounding "
+                        "output error into each quantized conv's bias "
+                        "(DFQ-style, from the calibration input means)")
     return p.parse_args()
 
 
@@ -88,7 +92,8 @@ def main():
             calib_batches_from_dataset(
                 dataset, BaseTransform(size, C.VOC_MEANS),
                 args.calib_images, args.batch_size),
-            dtype=dtype, act_stat=args.calib_act_stat, quant_skip=skip)
+            dtype=dtype, act_stat=args.calib_act_stat, quant_skip=skip,
+            bias_correct=args.bias_correct)
     # The reference VOC path ran the torch NMS (no +1 area convention,
     # box_utils.py:241), unlike the COCO path's C/CUDA NMS.
     evaluator = Evaluator(eval_model, dataset, cfg,

@@ -104,7 +104,8 @@ class RefineDet(nn.Module):
             if not self.is_mutable_collection("calib"):
                 return conv(x)
             cin = x.shape[-1]
-            ax = jnp.abs(x.astype(jnp.float32)).reshape(-1, cin)
+            xf = x.astype(jnp.float32).reshape(-1, cin)
+            ax = jnp.abs(xf)
             stats = jnp.concatenate([
                 jnp.max(ax, axis=0)[None],
                 jnp.percentile(ax, jnp.asarray(CALIB_PERCENTILES), axis=0),
@@ -113,6 +114,13 @@ class RefineDet(nn.Module):
                      init_fn=lambda: jnp.zeros(
                          (1 + len(CALIB_PERCENTILES), cin), jnp.float32),
                      reduce_fn=jnp.maximum)
+            # Signed per-channel mean E[x]: input to PTQ bias correction
+            # (quant/ptq.py:bias_correction_delta). Each conv runs once
+            # per forward, so the overwrite reduce never actually merges;
+            # cross-batch averaging happens in calibrate_amax.
+            self.sow("calib", f"{name}_mean", jnp.mean(xf, axis=0),
+                     init_fn=lambda: jnp.zeros((cin,), jnp.float32),
+                     reduce_fn=lambda prev, new: new)
             return conv(x)
 
         return conv_with_calibration

@@ -37,6 +37,7 @@ import numpy as np
 from refinedet_tpu.models.refinedet import CALIB_PERCENTILES
 
 _STATS_SUFFIX = "_absstats"
+_MEAN_SUFFIX = "_mean"
 # activation clip-point choices -> index into the recorded stats vector
 # [amax, *CALIB_PERCENTILES] (99.99, 99.9, 99.0)
 ACT_STATS = {"amax": 0, "p9999": 1, "p999": 2, "p99": 3}
@@ -50,8 +51,8 @@ assert len(ACT_STATS) == 1 + len(CALIB_PERCENTILES)
 DEFAULT_QUANT_SKIP = ("vgg_conv1_2", "vgg_conv2_1")
 
 
-def calibrate_amax(model, variables,
-                   batches: Iterable) -> Dict[str, np.ndarray]:
+def calibrate_amax(model, variables, batches: Iterable,
+                   return_means: bool = False):
     """Run calibration batches through the f32/bf16 model and collect the
     per-conv-input |x| statistics recorded by the 'calib' sow: a
     [amax, p99.99, p99.9, p99] x [cin] matrix per quantized conv
@@ -62,6 +63,11 @@ def calibrate_amax(model, variables,
     running max over all batches (exact for amax, a slight overestimate
     for the percentiles of the pooled stream — the right direction for a
     clip point).
+
+    With ``return_means=True``, returns ``(stats, means)`` where ``means``
+    is {conv_name: E[x] per input channel} averaged over the stream
+    (weighted by batch size) — the input to PTQ bias correction
+    (``bias_correction_delta``).
     """
 
     @jax.jit
@@ -71,18 +77,57 @@ def calibrate_amax(model, variables,
         return state["calib"]
 
     stats: Dict[str, np.ndarray] = {}
+    mean_sums: Dict[str, np.ndarray] = {}
     n = 0
+    weight = 0.0
     for images in batches:
         captured = jax.device_get(run(variables, jnp.asarray(images)))
+        b = float(np.shape(images)[0])
         for key, val in captured.items():
-            name = key[:-len(_STATS_SUFFIX)]
             val = np.asarray(val, np.float32)
-            prev = stats.get(name)
-            stats[name] = val if prev is None else np.maximum(prev, val)
+            if key.endswith(_STATS_SUFFIX):
+                name = key[:-len(_STATS_SUFFIX)]
+                prev = stats.get(name)
+                stats[name] = val if prev is None else np.maximum(prev, val)
+            elif key.endswith(_MEAN_SUFFIX):
+                # per-batch mean over B*H*W positions; H*W is constant per
+                # conv, so weighting by B makes the pooled mean exact even
+                # with a ragged final batch
+                name = key[:-len(_MEAN_SUFFIX)]
+                mean_sums[name] = mean_sums.get(name, 0.0) + b * val
         n += 1
+        weight += b
     if n == 0:
         raise ValueError("calibration stream was empty")
-    return stats
+    if not return_means:
+        return stats
+    means = {name: (s / weight).astype(np.float32)
+             for name, s in mean_sums.items()}
+    return stats, means
+
+
+def bias_correction_delta(w: np.ndarray, kernel_q: np.ndarray,
+                          w_scale: np.ndarray, in_scale: np.ndarray,
+                          mean_x: np.ndarray) -> np.ndarray:
+    """Expected-output-error bias correction (DFQ-style, Nagel et al.
+    2019): the int8 conv's effective weight ``kernel_q * w_scale /
+    in_scale`` differs from the f32 ``w`` by the weight-rounding residual,
+    which turns the calibration stream's per-channel input mean E[x] into
+    a systematic per-output-channel offset. Returns ``delta[o] =
+    sum_{kh,kw,c} (w - w_eff)[kh,kw,c,o] * E[x[c]]`` to ADD to the bias.
+
+    Approximations (both standard): activation rounding error is treated
+    as zero-mean (symmetric round-to-nearest; percentile clipping touches
+    only the top 0.01%), and E[x] is applied at every tap including
+    zero-padded borders (pad zeros quantize exactly, so the correction
+    slightly overcounts border taps of edge pixels).
+    """
+    w = np.asarray(w, np.float32)
+    w_eff = (kernel_q.astype(np.float32)
+             * np.asarray(w_scale, np.float32)[None, None, None, :]
+             / np.asarray(in_scale, np.float32)[None, None, :, None])
+    return np.einsum("hwco,c->o", w - w_eff,
+                     np.asarray(mean_x, np.float32)).astype(np.float32)
 
 
 def _clip_point(stat: Union[np.ndarray, float],
@@ -96,7 +141,8 @@ def _clip_point(stat: Union[np.ndarray, float],
 
 
 def quantize_variables(model_q, variables, amax: Dict,
-                       act_stat: str = "p9999"):
+                       act_stat: str = "p9999",
+                       means: Optional[Dict] = None):
     """Fill the quantized model's variable tree from trained f32 variables.
 
     ``model_q`` is the ``quant=True`` twin (same size/num_classes/use_bn);
@@ -160,6 +206,13 @@ def quantize_variables(model_q, variables, amax: Dict,
         w_scale = np.maximum(w_scale, 1e-12).astype(np.float32)
         kernel_q = np.clip(np.round(w_folded / w_scale),
                            -127, 127).astype(np.int8)
+        if means is not None:
+            if name not in means:
+                raise KeyError(f"bias correction requested but no input "
+                               f"mean for quantized conv {name!r}; "
+                               f"calibrated: {sorted(means)}")
+            b = b + bias_correction_delta(w, kernel_q, w_scale, in_scale,
+                                          means[name])
         new_params[name] = {
             "kernel_q": jnp.asarray(kernel_q),
             "w_scale": jnp.asarray(w_scale),
@@ -193,18 +246,31 @@ def quantize_model(model, variables, calib_batches: Iterable,
                    dtype=jnp.bfloat16,
                    amax: Optional[Dict] = None,
                    act_stat: str = "p9999",
-                   quant_skip: tuple = DEFAULT_QUANT_SKIP):
+                   quant_skip: tuple = DEFAULT_QUANT_SKIP,
+                   bias_correct: bool = False):
     """One-call PTQ: calibrate on ``calib_batches`` (ignored if ``amax``
     given) and return (model_q, variables_q) — the int8 serving twin of
     ``model`` with the same detector/phase semantics. ``quant_skip``
-    names convs to keep unquantized."""
+    names convs to keep unquantized. ``bias_correct=True`` additionally
+    folds the expected weight-rounding output error into each quantized
+    conv's bias (``bias_correction_delta``) using the calibration
+    stream's input means."""
     from refinedet_tpu.models.builder import build_refinedet
 
+    means = None
     if amax is None:
-        amax = calibrate_amax(model, variables, calib_batches)
+        if bias_correct:
+            amax, means = calibrate_amax(model, variables, calib_batches,
+                                         return_means=True)
+        else:
+            amax = calibrate_amax(model, variables, calib_batches)
+    elif bias_correct:
+        raise ValueError("bias_correct needs the calibration stream's "
+                         "input means; pass calib_batches instead of a "
+                         "precomputed amax")
     model_q = build_refinedet(
         "test", model.size, model.num_classes, detector=model.detect,
         use_bn=model.use_bn, dtype=dtype, quant=True,
         quant_skip=quant_skip)
     return model_q, quantize_variables(model_q, variables, amax,
-                                       act_stat=act_stat)
+                                       act_stat=act_stat, means=means)

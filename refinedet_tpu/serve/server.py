@@ -1,0 +1,344 @@
+"""Micro-batching serving host for exported RefineDet artifacts.
+
+The reference has no serving story beyond "run the eval script" (its
+closest analogue is the per-frame webcam loop,
+``/root/reference/demo/live.py:20-66``). A TPU chip, by contrast, earns
+its keep at batch >= 8 (README: batch-128 is 74% MXU, batch-1 is
+latency-bound), so the serving host's job is to turn many concurrent
+single-image requests into few large device batches:
+
+* ``BatchingEngine`` — a queue + one dispatcher thread. Requests
+  accumulate until ``max_batch`` are waiting or the oldest has waited
+  ``max_delay_ms``; the batch is zero-padded up to the next size in
+  ``buckets`` (powers of two by default) so the device sees a FIXED set
+  of shapes — each bucket compiles once, ever (XLA static-shape rule;
+  a symbolic-batch artifact would otherwise recompile per concrete
+  batch size). Pad rows are sliced off before results are returned.
+* ``ServingHandler``/``serve_forever`` — a stdlib ThreadingHTTPServer
+  front-end: ``POST /detect`` with one raw float32 NHWC image (or an
+  ``.npy``), response is an ``.npz`` of the model outputs; ``GET
+  /healthz`` liveness; ``GET /stats`` JSON latency percentiles and the
+  realized batch-size histogram (the observability the reference's FPS
+  print can't give a running service).
+
+The engine is deliberately independent of HTTP — ``submit()`` returns a
+``concurrent.futures.Future``, so an embedding application (or a future
+gRPC front) reuses the same batching core.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import queue
+import threading
+import time
+from collections import Counter, deque
+from concurrent.futures import Future
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Callable, Optional, Sequence, Tuple
+
+import numpy as np
+
+_SHUTDOWN = object()
+
+
+def _default_buckets(max_batch: int) -> Tuple[int, ...]:
+    out = [1]
+    while out[-1] < max_batch:
+        out.append(min(out[-1] * 2, max_batch))
+    return tuple(out)
+
+
+class BatchingEngine:
+    """Gather concurrent requests into padded, bucket-sized device batches.
+
+    ``infer_fn(images[B,H,W,C] f32) -> tuple of arrays with leading dim
+    B`` — typically ``serve.load_serving(path)``. One dispatcher thread
+    owns the device; callers block on the returned Future.
+    """
+
+    def __init__(self, infer_fn: Callable, input_shape: Tuple[int, int, int],
+                 max_batch: int = 8, max_delay_ms: float = 5.0,
+                 buckets: Optional[Sequence[int]] = None):
+        if max_batch < 1:
+            raise ValueError(f"max_batch must be >= 1, got {max_batch}")
+        self.infer_fn = infer_fn
+        self.input_shape = tuple(input_shape)
+        self.max_batch = int(max_batch)
+        self.max_delay = float(max_delay_ms) / 1e3
+        self.buckets = tuple(sorted(buckets)) if buckets else \
+            _default_buckets(self.max_batch)
+        if self.buckets[-1] < self.max_batch:
+            raise ValueError(f"largest bucket {self.buckets[-1]} < "
+                             f"max_batch {self.max_batch}")
+        self._queue: "queue.Queue" = queue.Queue()
+        self._lock = threading.Lock()
+        self._latencies: deque = deque(maxlen=4096)
+        self._batch_hist: Counter = Counter()
+        self._errors = 0
+        self._started = False
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="refinedet-serve-dispatch")
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def start(self) -> "BatchingEngine":
+        if not self._started:
+            self._started = True
+            self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        if self._started:
+            self._queue.put(_SHUTDOWN)
+            self._thread.join(timeout=30)
+            self._started = False
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.stop()
+
+    # -- request path ------------------------------------------------------
+
+    def submit(self, image: np.ndarray) -> Future:
+        """Enqueue ONE image [H,W,C] float32; resolves to a tuple of
+        per-request output arrays (leading batch dim stripped)."""
+        image = np.asarray(image, np.float32)
+        if image.shape != self.input_shape:
+            raise ValueError(f"expected image shape {self.input_shape}, "
+                             f"got {image.shape}")
+        fut: Future = Future()
+        self._queue.put((image, fut, time.monotonic()))
+        return fut
+
+    def __call__(self, image: np.ndarray):
+        return self.submit(image).result()
+
+    # -- dispatcher --------------------------------------------------------
+
+    def _bucket(self, n: int) -> int:
+        for b in self.buckets:
+            if b >= n:
+                return b
+        return self.buckets[-1]
+
+    def _loop(self) -> None:
+        while True:
+            item = self._queue.get()
+            if item is _SHUTDOWN:
+                return
+            batch = [item]
+            deadline = item[2] + self.max_delay
+            while len(batch) < self.max_batch:
+                wait = deadline - time.monotonic()
+                try:
+                    # Past the deadline, still DRAIN without blocking:
+                    # requests that queued up behind a long inference
+                    # must coalesce, not dribble out one per batch.
+                    nxt = (self._queue.get(timeout=wait) if wait > 0
+                           else self._queue.get_nowait())
+                except queue.Empty:
+                    break
+                if nxt is _SHUTDOWN:
+                    self._run(batch)
+                    return
+                batch.append(nxt)
+            self._run(batch)
+
+    def _run(self, batch) -> None:
+        n = len(batch)
+        padded = self._bucket(n)
+        images = np.zeros((padded,) + self.input_shape, np.float32)
+        for i, (img, _, _) in enumerate(batch):
+            images[i] = img
+        try:
+            outs = self.infer_fn(images)
+        except Exception as e:  # deliver, don't kill the dispatcher
+            with self._lock:
+                self._errors += 1
+            for _, fut, _ in batch:
+                fut.set_exception(e)
+            return
+        outs = outs if isinstance(outs, (tuple, list)) else (outs,)
+        outs = [np.asarray(o) for o in outs]
+        now = time.monotonic()
+        with self._lock:
+            self._batch_hist[n] += 1
+            for _, _, t0 in batch:
+                self._latencies.append(now - t0)
+        for i, (_, fut, _) in enumerate(batch):
+            fut.set_result(tuple(o[i] for o in outs))
+
+    # -- observability -----------------------------------------------------
+
+    def stats(self) -> dict:
+        with self._lock:
+            lat = sorted(self._latencies)
+            hist = dict(sorted(self._batch_hist.items()))
+            errors = self._errors
+        n = len(lat)
+
+        def pct(p):
+            return round(lat[min(n - 1, int(p * n))] * 1e3, 3) if n else None
+
+        return {
+            "requests": int(sum(k * v for k, v in hist.items())),
+            "batches": int(sum(hist.values())),
+            "batch_size_hist": {str(k): v for k, v in hist.items()},
+            "latency_ms": {"p50": pct(0.50), "p90": pct(0.90),
+                           "p99": pct(0.99)},
+            "errors": errors,
+            "buckets": list(self.buckets),
+            "max_batch": self.max_batch,
+            "max_delay_ms": self.max_delay * 1e3,
+        }
+
+
+# -- HTTP front-end ---------------------------------------------------------
+
+
+def _make_handler(engine: BatchingEngine, meta: dict):
+    h, w, c = engine.input_shape
+    raw_len = h * w * c * 4
+
+    class ServingHandler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, *args):  # quiet; /stats is the observability
+            pass
+
+        def _send(self, code: int, body: bytes, ctype: str) -> None:
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _send_json(self, code: int, obj) -> None:
+            self._send(code, json.dumps(obj).encode(), "application/json")
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send_json(200, {"ok": True})
+            elif self.path == "/stats":
+                self._send_json(200, engine.stats())
+            elif self.path == "/meta":
+                self._send_json(200, meta)
+            else:
+                self._send_json(404, {"error": f"no route {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/detect":
+                return self._send_json(404, {"error": f"no route "
+                                                      f"{self.path}"})
+            try:
+                body = self.rfile.read(
+                    int(self.headers.get("Content-Length", 0)))
+                if self.headers.get("Content-Type") == \
+                        "application/x-npy":
+                    img = np.load(io.BytesIO(body), allow_pickle=False)
+                else:  # raw little-endian float32 NHWC bytes
+                    if len(body) != raw_len:
+                        return self._send_json(
+                            400, {"error": f"expected {raw_len} bytes "
+                                           f"(f32 {h}x{w}x{c}), got "
+                                           f"{len(body)}"})
+                    img = np.frombuffer(body, "<f4").reshape(h, w, c)
+                outs = engine.submit(np.ascontiguousarray(img)).result()
+            except ValueError as e:
+                return self._send_json(400, {"error": str(e)})
+            except Exception as e:  # inference failure
+                return self._send_json(500, {"error": str(e)})
+            buf = io.BytesIO()
+            np.savez(buf, **{f"out{i}": o for i, o in enumerate(outs)})
+            self._send(200, buf.getvalue(), "application/x-npz")
+
+    return ServingHandler
+
+
+class Server:
+    """HTTP serving host: ``Server(engine, meta, port).start()``."""
+
+    def __init__(self, engine: BatchingEngine, meta: dict, port: int = 0,
+                 host: str = "127.0.0.1"):
+        self.engine = engine
+        self.httpd = ThreadingHTTPServer(
+            (host, port), _make_handler(engine, meta))
+        self.port = self.httpd.server_address[1]
+        self._thread = threading.Thread(
+            target=self.httpd.serve_forever, daemon=True,
+            name="refinedet-serve-http")
+
+    def start(self) -> "Server":
+        self.engine.start()
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        self._thread.join(timeout=30)
+        self.engine.stop()
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.stop()
+
+
+def client_detect(host: str, port: int, image: np.ndarray,
+                  timeout: float = 60.0):
+    """Minimal stdlib client: send one [H,W,C] f32 image, return the
+    tuple of output arrays."""
+    from urllib.request import Request, urlopen
+
+    body = np.ascontiguousarray(np.asarray(image, "<f4")).tobytes()
+    req = Request(f"http://{host}:{port}/detect", data=body,
+                  headers={"Content-Type": "application/octet-stream"})
+    with urlopen(req, timeout=timeout) as resp:
+        data = resp.read()
+    npz = np.load(io.BytesIO(data), allow_pickle=False)
+    return tuple(npz[k] for k in sorted(npz.files))
+
+
+def main(argv=None):
+    """``python -m refinedet_tpu.serve.server --artifact m.rdtpu``"""
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="micro-batching HTTP serving host")
+    p.add_argument("--artifact", required=True,
+                   help=".rdtpu file from tools/export_serving.py")
+    p.add_argument("--port", type=int, default=8700)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--max_batch", type=int, default=32)
+    p.add_argument("--max_delay_ms", type=float, default=5.0)
+    args = p.parse_args(argv)
+
+    from refinedet_tpu.serve.export import load_serving
+
+    serving = load_serving(args.artifact)
+    size = serving.meta["input_size"]
+    engine = BatchingEngine(serving, (size, size, 3),
+                            max_batch=args.max_batch,
+                            max_delay_ms=args.max_delay_ms)
+    # Warm every bucket up front: first-compile latency belongs at
+    # startup, not on the first unlucky requests.
+    for b in engine.buckets:
+        serving(np.zeros((b, size, size, 3), np.float32))
+    with Server(engine, serving.meta, args.port, args.host) as srv:
+        print(f"serving {args.artifact} on http://{args.host}:{srv.port} "
+              f"(buckets {list(engine.buckets)}, "
+              f"max_delay {args.max_delay_ms} ms)", flush=True)
+        try:
+            threading.Event().wait()
+        except KeyboardInterrupt:
+            pass
+
+
+if __name__ == "__main__":
+    main()

@@ -136,6 +136,104 @@ def test_quantized_model_outputs_close(rng):
     assert np.mean(np.abs(sq - sf)) < 0.02
 
 
+def test_bias_correction_delta_matches_bruteforce(rng):
+    """On-grid activations isolate the weight-rounding error, which is
+    linear in x — so the measured mean output error must equal
+    bias_correction_delta exactly, and adding the delta as bias must
+    cancel it."""
+    from refinedet_tpu.quant import bias_correction_delta
+
+    cin, cout = 8, 6
+    in_scale = rng.uniform(0.05, 0.25, cin).astype(np.float32)
+    w = (rng.randn(1, 1, cin, cout) * 0.1).astype(np.float32)
+    # quantize exactly as quantize_variables does
+    w_folded = w * in_scale[None, None, :, None]
+    w_scale = np.maximum(np.abs(w_folded).max(axis=(0, 1, 2)) / 127.0,
+                         1e-12).astype(np.float32)
+    kernel_q = np.clip(np.round(w_folded / w_scale), -127, 127) \
+        .astype(np.int8)
+    # activations on the int8 grid: round(x/in_scale) is error-free, with
+    # a nonzero per-channel mean so there is something to correct
+    x_int = rng.randint(-100, 128, (4, 16, 16, cin)).astype(np.float32)
+    x = x_int * in_scale
+    mean_x = x.reshape(-1, cin).mean(axis=0)
+
+    delta = bias_correction_delta(w, kernel_q, w_scale, in_scale, mean_x)
+
+    conv = QuantConv(features=cout, kernel=1, padding=0, dtype=jnp.float32)
+
+    def run(bias):
+        return np.asarray(conv.apply(
+            {"params": {"kernel_q": jnp.asarray(kernel_q),
+                        "w_scale": jnp.asarray(w_scale),
+                        "in_scale": jnp.asarray(in_scale),
+                        "bias": jnp.asarray(bias)}}, jnp.asarray(x)))
+
+    want = np.einsum("bhwc,co->bhwo", x, w[0, 0])
+    err = (want - run(np.zeros(cout, np.float32))).reshape(-1, cout)
+    np.testing.assert_allclose(err.mean(axis=0), delta,
+                               rtol=1e-4, atol=1e-6)
+    corrected = (want - run(delta)).reshape(-1, cout)
+    assert np.abs(corrected.mean(axis=0)).max() <= 1e-5
+
+
+def test_quantize_model_bias_correct(rng):
+    """bias_correct=True changes exactly the quantized convs' biases — by
+    the delta recomputable from the calibration means — and the corrected
+    model still tracks f32 within the uncorrected closeness bound."""
+    from refinedet_tpu.quant import bias_correction_delta
+
+    model = build_refinedet("test", 320, 3)
+    variables = model.init(jax.random.PRNGKey(0))
+    images = rng.uniform(-120, 130, (1, 320, 320, 3)).astype(np.float32)
+
+    amax, means = calibrate_amax(model, variables, [images],
+                                 return_means=True)
+    assert sorted(means) == sorted(QUANTIZED_320)
+    for name, m in means.items():
+        assert m.shape == amax[name].shape[1:], name
+        assert np.all(np.isfinite(m)), name
+
+    model_q, vq = quantize_model(model, variables, [images],
+                                 dtype=jnp.float32, quant_skip=())
+    model_qc, vqc = quantize_model(model, variables, [images],
+                                   dtype=jnp.float32, quant_skip=(),
+                                   bias_correct=True)
+    changed = 0
+    for name in QUANTIZED_320:
+        a, b = vq["params"][name], vqc["params"][name]
+        np.testing.assert_array_equal(np.asarray(a["kernel_q"]),
+                                      np.asarray(b["kernel_q"]))
+        np.testing.assert_array_equal(np.asarray(a["in_scale"]),
+                                      np.asarray(b["in_scale"]))
+        delta = bias_correction_delta(
+            np.asarray(variables["params"][name]["kernel"]),
+            np.asarray(a["kernel_q"]), np.asarray(a["w_scale"]),
+            np.asarray(a["in_scale"]), means[name])
+        np.testing.assert_allclose(
+            np.asarray(b["bias"]), np.asarray(a["bias"]) + delta,
+            rtol=1e-5, atol=1e-7)
+        changed += int(np.abs(delta).max() > 0)
+    assert changed > 0  # the correction is not a no-op
+    # non-quantized leaves untouched
+    np.testing.assert_array_equal(
+        np.asarray(vq["params"]["arm_loc0"]["bias"]),
+        np.asarray(vqc["params"]["arm_loc0"]["bias"]))
+
+    ref = model.raw_forward(variables, jnp.asarray(images))
+    got = model_qc.raw_forward(vqc, jnp.asarray(images))
+    for name, r, g in zip(["arm_loc", "arm_conf", "odm_loc", "odm_conf"],
+                          ref, got):
+        r, g = np.asarray(r), np.asarray(g)
+        rel = np.linalg.norm(g - r) / (np.linalg.norm(r) + 1e-12)
+        assert rel < 0.06, f"{name}: relative L2 error {rel:.4f}"
+
+    # a precomputed amax cannot carry means
+    with pytest.raises(ValueError, match="bias_correct"):
+        quantize_model(model, variables, [images], amax=amax,
+                       bias_correct=True)
+
+
 def test_quant_requires_test_phase():
     with pytest.raises(ValueError):
         build_refinedet("train", 320, 3, quant=True)

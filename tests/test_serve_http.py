@@ -1,0 +1,205 @@
+"""Serving host (``refinedet_tpu/serve/server.py``).
+
+The batching engine and HTTP protocol are exercised against a fake
+inference function (fast, deterministic — the contract is "tuple of
+arrays with leading dim B"), plus one integration test running a real
+exported artifact end to end through the wire format.
+"""
+
+import io
+import json
+import sys
+import threading
+import time
+import urllib.request
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from refinedet_tpu.serve.server import (BatchingEngine, Server,  # noqa: E402
+                                        client_detect)
+
+SHAPE = (8, 8, 3)
+
+
+def _mark_image(i):
+    """An image whose content identifies request i."""
+    return np.full(SHAPE, float(i), np.float32)
+
+
+class FakeInfer:
+    """Records call batch sizes; returns (per-image mean, batch echo)."""
+
+    def __init__(self, delay=0.0, fail=False):
+        self.calls = []
+        self.delay = delay
+        self.fail = fail
+
+    def __call__(self, images):
+        self.calls.append(images.shape[0])
+        if self.fail:
+            raise RuntimeError("device on fire")
+        if self.delay:
+            time.sleep(self.delay)
+        mean = images.mean(axis=(1, 2, 3))
+        return mean, np.broadcast_to(mean[:, None], (len(mean), 4)).copy()
+
+
+def test_each_request_gets_its_own_result():
+    fake = FakeInfer()
+    with BatchingEngine(fake, SHAPE, max_batch=4, max_delay_ms=1) as eng:
+        futs = [eng.submit(_mark_image(i)) for i in range(10)]
+        for i, f in enumerate(futs):
+            mean, echo = f.result(timeout=10)
+            assert mean == pytest.approx(float(i))
+            assert echo.shape == (4,)
+            assert echo[0] == pytest.approx(float(i))
+
+
+def test_concurrent_requests_get_batched():
+    """With a slow device, concurrent submitters coalesce: strictly fewer
+    device calls than requests."""
+    fake = FakeInfer(delay=0.05)
+    n = 16
+    results = {}
+    with BatchingEngine(fake, SHAPE, max_batch=8, max_delay_ms=20) as eng:
+        def worker(i):
+            results[i] = eng(_mark_image(i))[0]
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(n)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        stats = eng.stats()
+    assert len(results) == n
+    for i, mean in results.items():
+        assert mean == pytest.approx(float(i))
+    assert stats["requests"] == n
+    assert stats["batches"] < n  # coalescing happened
+    assert sum(fake.calls) >= n  # padding only adds rows
+
+
+def test_batches_padded_to_bucket_sizes():
+    fake = FakeInfer(delay=0.02)
+    with BatchingEngine(fake, SHAPE, max_batch=8, max_delay_ms=30) as eng:
+        futs = [eng.submit(_mark_image(i)) for i in range(3)]
+        for f in futs:
+            f.result(timeout=10)
+    # every device call saw a bucket size (1, 2, 4, or 8), never 3
+    assert set(fake.calls) <= {1, 2, 4, 8}
+
+
+def test_inference_error_reaches_all_waiters_and_engine_survives():
+    fake = FakeInfer(fail=True)
+    with BatchingEngine(fake, SHAPE, max_batch=4, max_delay_ms=5) as eng:
+        futs = [eng.submit(_mark_image(i)) for i in range(3)]
+        for f in futs:
+            with pytest.raises(RuntimeError, match="device on fire"):
+                f.result(timeout=10)
+        fake.fail = False
+        mean, _ = eng(_mark_image(7))
+        assert mean == pytest.approx(7.0)
+        assert eng.stats()["errors"] >= 1
+
+
+def test_bad_shape_rejected_in_caller():
+    with BatchingEngine(FakeInfer(), SHAPE, max_batch=2) as eng:
+        with pytest.raises(ValueError, match="expected image shape"):
+            eng.submit(np.zeros((4, 4, 3), np.float32))
+
+
+def test_bucket_validation():
+    with pytest.raises(ValueError, match="largest bucket"):
+        BatchingEngine(FakeInfer(), SHAPE, max_batch=8, buckets=(1, 2))
+    with pytest.raises(ValueError, match="max_batch"):
+        BatchingEngine(FakeInfer(), SHAPE, max_batch=0)
+
+
+@pytest.fixture()
+def http_server():
+    engine = BatchingEngine(FakeInfer(), SHAPE, max_batch=4, max_delay_ms=1)
+    meta = {"input_size": 8, "num_classes": 2}
+    with Server(engine, meta, port=0) as srv:
+        yield srv
+
+
+def _get(port, path):
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}",
+                                timeout=10) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_http_endpoints(http_server):
+    port = http_server.port
+    assert _get(port, "/healthz") == (200, {"ok": True})
+    status, meta = _get(port, "/meta")
+    assert status == 200 and meta["input_size"] == 8
+    status, stats = _get(port, "/stats")
+    assert status == 200 and "latency_ms" in stats
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(port, "/nope")
+    assert e.value.code == 404
+
+
+def test_http_detect_raw_and_client(http_server):
+    port = http_server.port
+    mean, echo = client_detect("127.0.0.1", port, _mark_image(3))
+    assert mean == pytest.approx(3.0)
+    assert echo.shape == (4,)
+    stats = _get(port, "/stats")[1]
+    assert stats["requests"] >= 1
+
+
+def test_http_detect_npy_content_type(http_server):
+    port = http_server.port
+    buf = io.BytesIO()
+    np.save(buf, _mark_image(5))
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/detect", data=buf.getvalue(),
+        headers={"Content-Type": "application/x-npy"})
+    with urllib.request.urlopen(req, timeout=10) as r:
+        npz = np.load(io.BytesIO(r.read()), allow_pickle=False)
+    assert npz["out0"] == pytest.approx(5.0)
+
+
+def test_http_detect_wrong_length_400(http_server):
+    port = http_server.port
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/detect", data=b"\x00" * 17)
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=10)
+    assert e.value.code == 400
+    assert "expected" in json.loads(e.value.read())["error"]
+
+
+def test_integration_real_artifact(tmp_path):
+    """Full chain: export a real model -> load artifact -> batching engine
+    -> HTTP wire format -> outputs match the live model."""
+    import jax.numpy as jnp
+
+    from refinedet_tpu.models import build_refinedet
+    from refinedet_tpu.serve import load_serving, save_serving
+
+    import jax
+
+    model = build_refinedet("test", 320, 2)
+    variables = model.init(jax.random.PRNGKey(0))
+    path = str(tmp_path / "m.rdtpu")
+    save_serving(model, variables, path, platforms=("cpu",))
+    serving = load_serving(path)
+
+    engine = BatchingEngine(serving, (320, 320, 3), max_batch=2,
+                            max_delay_ms=5)
+    rng = np.random.RandomState(0)
+    img = rng.randn(320, 320, 3).astype(np.float32)
+    with Server(engine, serving.meta, port=0) as srv:
+        boxes, scores = client_detect("127.0.0.1", srv.port, img,
+                                      timeout=600)
+    want_b, want_s = model.apply(variables, jnp.asarray(img[None]))
+    np.testing.assert_array_equal(boxes, np.asarray(want_b)[0])
+    np.testing.assert_array_equal(scores, np.asarray(want_s)[0])

@@ -88,6 +88,53 @@ def test_train_phase_rejected(model_and_vars):
         save_serving(train_model, variables, "/dev/null")
 
 
+def test_int8_artifact_matches_live_quant_model(tmp_path, model_and_vars):
+    """The int8 PTQ twin exports like any model: quantize, bake, round
+    trip; artifact output is bit-identical to the live quantized model
+    and the metadata records int8=True."""
+    from refinedet_tpu.quant import quantize_model
+
+    model, variables = model_and_vars
+    rng = np.random.RandomState(5)
+    model_q, vq = quantize_model(model, variables, [_imgs(rng, 2)])
+    path = str(tmp_path / "int8.rdtpu")
+    meta = save_serving(model_q, vq, path, platforms=("cpu",))
+    assert meta["int8"] is True
+
+    serving = load_serving(path)
+    img = _imgs(rng, 2)
+    got_b, got_s = serving(img)
+    want_b, want_s = model_q.apply(vq, jnp.asarray(img))
+    np.testing.assert_array_equal(np.asarray(got_b), np.asarray(want_b))
+    np.testing.assert_array_equal(np.asarray(got_s), np.asarray(want_s))
+
+    # CLI path: a pre-quantized Orbax checkpoint exports with --int8 ...
+    import orbax.checkpoint as ocp
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from export_serving import main as export_main
+
+    ckpt = str(tmp_path / "quantized_ckpt")
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(ckpt, dict(vq))
+    ckptr.wait_until_finished()
+    out = str(tmp_path / "cli_int8.rdtpu")
+    export_main(["--checkpoint", ckpt, "--out", out, "--int8",
+                 "--input_size", "320", "--num_classes", "2",
+                 "--platforms", "cpu"])
+    cli_b, _ = load_serving(out)(img)
+    np.testing.assert_array_equal(np.asarray(cli_b), np.asarray(want_b))
+
+    # ... and a NON-quantized checkpoint is rejected up front.
+    bare = str(tmp_path / "bare_ckpt")
+    ckptr.save(bare, dict(model_and_vars[1]))
+    ckptr.wait_until_finished()
+    with pytest.raises(SystemExit, match="no quantized convs"):
+        export_main(["--checkpoint", bare, "--out", "/dev/null", "--int8",
+                     "--input_size", "320", "--num_classes", "2",
+                     "--platforms", "cpu"])
+
+
 def test_cli_full_circle_from_pth(tmp_path, model_and_vars):
     """tools/export_serving.py end to end: Flax weights -> reference-format
     .pth (torch_export) -> CLI loads it back through the eval driver's
@@ -101,9 +148,11 @@ def test_cli_full_circle_from_pth(tmp_path, model_and_vars):
     pth = str(tmp_path / "ckpt.pth")
     save_torch_checkpoint(variables, pth)
     out = str(tmp_path / "cli.rdtpu")
+    # --dtype float32 pins bit-equality with the f32 live model (the CLI's
+    # default is bfloat16, the eval drivers' serving dtype).
     export_main(["--checkpoint", pth, "--out", out,
                  "--input_size", "320", "--num_classes", "2",
-                 "--platforms", "cpu"])
+                 "--platforms", "cpu", "--dtype", "float32"])
     serving = load_serving(out)
     rng = np.random.RandomState(4)
     img = _imgs(rng, 2)

@@ -14,7 +14,7 @@ Two reference quirks are covered deliberately:
     0-based (:117-120) — reproduced via evaluate_voc's det_shift=1.
 """
 
-import importlib
+import importlib.util
 import os.path as osp
 import sys
 
@@ -43,13 +43,23 @@ CLASSES = ("aeroplane", "bicycle", "bird")
 @pytest.fixture(scope="module")
 def ref_eval_mod(tmp_path_factory):
     """Import the reference eval driver (module-level argparse needs a
-    patched argv; --save_folder must be creatable)."""
+    patched argv; --save_folder must be creatable).
+
+    Loaded BY FILE PATH under a private module name: this repo has its own
+    eval_refinedet_voc.py at the root, so ``import eval_refinedet_voc``
+    resolves by sys.path order — which other tests legitimately reshuffle
+    (anything importing this repo's root drivers). A name-based import
+    here once picked up OUR driver instead of the reference's."""
     save = tmp_path_factory.mktemp("ref_save")
     argv = sys.argv
     sys.argv = ["eval_refinedet_voc.py", "--cuda", "False",
                 "--save_folder", str(save), "--voc_root", str(save)]
     try:
-        mod = importlib.import_module("eval_refinedet_voc")
+        spec = importlib.util.spec_from_file_location(
+            "_reference_eval_refinedet_voc",
+            osp.join("/root/reference", "eval_refinedet_voc.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
     finally:
         sys.argv = argv
     return mod

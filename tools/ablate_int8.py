@@ -6,6 +6,8 @@ train-set AP served as
   bf16            — baseline
   int8-default    — DEFAULT_QUANT_SKIP (early-VGG convs kept bf16)
   int8-full       — everything quantizable quantized
+  *-bc            — same, plus DFQ-style bias correction
+                    (quant.bias_correction_delta from the calib means)
   noise-control   — bf16 + weight noise matched to the int8 quant step
                     (bounds the fixture's own perturbation sensitivity)
 and report mean +- std AP deltas vs bf16 per config. Run for both sizes:
@@ -116,10 +118,14 @@ def run_seed(seed, size, steps, batch):
     out["noise-ctl-full"] = ap_of(test_model, noise_params(()))
 
     calib = np.stack([bt(ds.pull_image(i)[0]) for i in range(16)])
-    for tag, skip in (("int8-default", None), ("int8-full", ())):
+    for tag, skip, bc in (("int8-default", None, False),
+                          ("int8-default-bc", None, True),
+                          ("int8-full", (), False),
+                          ("int8-full-bc", (), True)):
         kw = {} if skip is None else {"quant_skip": skip}
         mq, vq = quantize_model(test_model, variables,
-                                [calib.astype(np.float32)], **kw)
+                                [calib.astype(np.float32)],
+                                bias_correct=bc, **kw)
         out[tag] = ap_of(mq, vq)
     print(f"seed {seed}: " + "  ".join(
         f"{k}={v['ap']:.4f}/{v['ap50']:.4f}" for k, v in out.items()),

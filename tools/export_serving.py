@@ -20,10 +20,34 @@ Examples:
 """
 
 import argparse
+import importlib.util
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# APPEND, never insert(0): tests run this in-process after
+# tests/reference_modules.py has put /root/reference at the head of
+# sys.path, and prepending the repo root would flip which
+# eval_refinedet_voc.py (ours vs the reference's — same filename) later
+# name-based imports resolve to.
+if _REPO not in sys.path:
+    sys.path.append(_REPO)
+
+
+def _load_make_loader():
+    """Our eval_refinedet_coco.make_loader, resolved BY FILE PATH — the
+    reference tree has a module with the same name, so a name-based import
+    is ambiguous when both roots are on sys.path."""
+    path = os.path.join(_REPO, "eval_refinedet_coco.py")
+    mod = sys.modules.get("eval_refinedet_coco")
+    if mod is not None and os.path.abspath(
+            getattr(mod, "__file__", "")) == path:
+        return mod.make_loader
+    spec = importlib.util.spec_from_file_location(
+        "_refinedet_tpu_eval_coco", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.make_loader
 
 
 def parse_args(argv=None):
@@ -37,6 +61,17 @@ def parse_args(argv=None):
                    choices=(320, 512, 896))
     p.add_argument("--num_classes", type=int, default=2)
     p.add_argument("--bn", action="store_true", help="BN variant")
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=("bfloat16", "float32"),
+                   help="compute dtype baked into the artifact (matches "
+                        "the eval drivers' serving default)")
+    p.add_argument("--int8", action="store_true",
+                   help="serving: export the int8 PTQ twin from a "
+                        "PRE-QUANTIZED Orbax checkpoint (written by "
+                        "eval_refinedet_coco.py --int8 --save_quantized)")
+    p.add_argument("--quant_skip", default=None,
+                   help="with --int8: conv names kept bf16, matching the "
+                        "checkpoint's set (default: quant.DEFAULT_QUANT_SKIP)")
     p.add_argument("--batch_size", type=int, default=0,
                    help="serving: fixed batch; 0 = symbolic (any batch)")
     p.add_argument("--platforms", default="tpu,cpu",
@@ -47,12 +82,36 @@ def parse_args(argv=None):
 def main(argv=None):
     args = parse_args(argv)
     from refinedet_tpu.models import build_refinedet
-    from eval_refinedet_coco import make_loader
+
+    make_loader = _load_make_loader()
+
+    if args.int8 and args.format == "torch":
+        raise SystemExit("--int8 applies to --format serving only "
+                         "(the reference stack has no int8 path)")
+    import jax.numpy as jnp
 
     phase = "test" if args.format == "serving" else "train"
-    model = build_refinedet(phase, args.input_size, args.num_classes,
-                            use_bn=args.bn)
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    if args.int8:
+        from refinedet_tpu.quant import DEFAULT_QUANT_SKIP
+        skip = (DEFAULT_QUANT_SKIP if args.quant_skip is None else
+                tuple(s for s in args.quant_skip.split(",") if s))
+        model = build_refinedet(phase, args.input_size, args.num_classes,
+                                use_bn=args.bn, dtype=dtype, quant=True,
+                                quant_skip=skip)
+    else:
+        model = build_refinedet(phase, args.input_size, args.num_classes,
+                                use_bn=args.bn, dtype=dtype)
     variables = make_loader(model)(args.checkpoint)
+    if args.int8:
+        import jax
+
+        paths = jax.tree.flatten_with_path(variables)[0]
+        if not any("kernel_q" in str(path) for path, _ in paths):
+            raise SystemExit(
+                f"--int8: {args.checkpoint} holds no quantized convs; write "
+                "one with eval_refinedet_coco.py --int8 --save_quantized "
+                "first")
 
     if args.format == "torch":
         from refinedet_tpu.models.torch_export import save_torch_checkpoint
