@@ -1,0 +1,151 @@
+"""Serving-host benchmark: requests/sec and latency through the
+micro-batching engine (refinedet_tpu/serve/server.py) on the current
+default backend (the real TPU chip when the tunnel is up).
+
+Two measurements, separated so HTTP overhead is attributable:
+
+  engine  — N worker threads submit images straight into
+            BatchingEngine.submit() and block on the Futures.
+  http    — the same load through the full HTTP wire format
+            (POST /detect with raw f32 bytes, .npz response).
+
+Every request's outputs are fetched to the host (the engine returns
+numpy per request), so nothing here can be elided by the dev tunnel's
+relay — but per-batch device->host output transfer (~0.6 MB/img at 320,
+21 classes) rides the tunnel on this box, so absolute numbers are a
+lower bound for a real TPU VM with PCIe to the chip; the realized-batch
+histogram and the engine-vs-http delta are the portable findings.
+
+Usage:
+  python tools/bench_serve.py [--size 320] [--num_classes 21]
+      [--clients 64] [--requests 256] [--max_batch 32]
+      [--artifact path.rdtpu]     # else: export random weights to a tmp
+"""
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import threading
+import time
+
+import numpy as np
+
+sys.path.append(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--size", type=int, default=320, choices=(320, 512, 896))
+    p.add_argument("--num_classes", type=int, default=21)
+    p.add_argument("--clients", type=int, default=64)
+    p.add_argument("--requests", type=int, default=256)
+    p.add_argument("--max_batch", type=int, default=32)
+    p.add_argument("--max_delay_ms", type=float, default=5.0)
+    p.add_argument("--artifact", default=None,
+                   help="pre-exported .rdtpu; default exports random "
+                        "weights (throughput does not depend on values)")
+    p.add_argument("--skip_http", action="store_true")
+    return p.parse_args()
+
+
+def drive(submit_fn, images, n_clients, n_requests):
+    """n_clients threads round-robin n_requests submissions; returns
+    (wall seconds, per-request latencies)."""
+    lat = [None] * n_requests
+    idx_lock = threading.Lock()
+    next_idx = [0]
+
+    def worker():
+        while True:
+            with idx_lock:
+                i = next_idx[0]
+                if i >= n_requests:
+                    return
+                next_idx[0] += 1
+            t0 = time.monotonic()
+            submit_fn(images[i % len(images)])
+            lat[i] = time.monotonic() - t0
+
+    threads = [threading.Thread(target=worker) for _ in range(n_clients)]
+    t0 = time.monotonic()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    return time.monotonic() - t0, np.array(lat)
+
+
+def main():
+    args = parse_args()
+    from refinedet_tpu.serve import (BatchingEngine, Server, client_detect,
+                                     load_serving, save_serving)
+
+    artifact = args.artifact
+    if artifact is None:
+        import jax
+        from refinedet_tpu.models import build_refinedet
+
+        model = build_refinedet("test", args.size, args.num_classes)
+        variables = model.init(jax.random.PRNGKey(0))
+        artifact = os.path.join(tempfile.mkdtemp(prefix="bench_serve_"),
+                                f"refinedet{args.size}.rdtpu")
+        save_serving(model, variables, artifact)
+    serving = load_serving(artifact)
+    size = serving.meta["input_size"]
+
+    rng = np.random.RandomState(0)
+    images = [rng.uniform(-120, 130, (size, size, 3)).astype(np.float32)
+              for _ in range(8)]
+
+    engine = BatchingEngine(serving, (size, size, 3),
+                            max_batch=args.max_batch,
+                            max_delay_ms=args.max_delay_ms)
+    print(f"warming {len(engine.buckets)} buckets "
+          f"{list(engine.buckets)} ...", file=sys.stderr, flush=True)
+    for b in engine.buckets:
+        t0 = time.monotonic()
+        serving(np.zeros((b, size, size, 3), np.float32))
+        print(f"  bucket {b}: {time.monotonic() - t0:.1f}s",
+              file=sys.stderr, flush=True)
+
+    results = {}
+    with engine:
+        # time twice, keep the second (first run of a fresh program can
+        # absorb a one-time relay cost)
+        for tag in ("engine-warm", "engine"):
+            wall, lat = drive(lambda im: engine.submit(im).result(),
+                              images, args.clients, args.requests)
+            results[tag] = {
+                "req_per_s": round(args.requests / wall, 1),
+                "p50_ms": round(float(np.median(lat)) * 1e3, 1),
+                "p99_ms": round(float(np.percentile(lat, 99)) * 1e3, 1),
+            }
+        stats_engine = engine.stats()
+
+        if not args.skip_http:
+            with Server(engine, serving.meta, port=0) as srv:
+                wall, lat = drive(
+                    lambda im: client_detect("127.0.0.1", srv.port, im,
+                                             timeout=600),
+                    images, args.clients, args.requests)
+                results["http"] = {
+                    "req_per_s": round(args.requests / wall, 1),
+                    "p50_ms": round(float(np.median(lat)) * 1e3, 1),
+                    "p99_ms": round(float(np.percentile(lat, 99)) * 1e3, 1),
+                }
+
+    out = {
+        "size": size,
+        "clients": args.clients,
+        "requests": args.requests,
+        "max_batch": args.max_batch,
+        "results": results,
+        "batch_size_hist": stats_engine["batch_size_hist"],
+    }
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
