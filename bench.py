@@ -31,7 +31,9 @@ import time
 
 import numpy as np
 
-BATCH = 128  # throughput-optimal on v5e (see sweep: 8->1146, 128->1941 img/s)
+# 128 is throughput-optimal on v5e (sweep: 8->1146, 128->1941 img/s);
+# BENCH_BATCH overrides for local batch-size probes.
+BATCH = int(os.environ.get("BENCH_BATCH", "128"))
 WARMUP = 3
 ITERS = 20
 MAX_ATTEMPTS = int(os.environ.get("BENCH_MAX_ATTEMPTS", "3"))
