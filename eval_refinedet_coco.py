@@ -69,6 +69,9 @@ def parse_args():
                    help="with --int8: fold the expected weight-rounding "
                         "output error into each quantized conv's bias "
                         "(DFQ-style, from the calibration input means)")
+    p.add_argument("--use_ema", action="store_true",
+                   help="serve the EMA weights (TrainState.ema_params "
+                        "from an --ema_decay run) instead of raw params")
     p.add_argument("--show_image", action="store_true",
                    help="write per-image PNGs with GT (green) vs "
                         "detections >= --vis_thres (red) to "
@@ -108,26 +111,46 @@ def draw_detections(dataset, all_boxes, out_dir, vis_thres=0.3):
         cv2.imwrite(osp.join(out_dir, f"{i:06d}.png"), img)
 
 
-def make_loader(model, trainer_template=None):
-    """Returns load_fn(path) -> flax variables, handling .pth and Orbax."""
+def make_loader(model, trainer_template=None, use_ema=False):
+    """Returns load_fn(path) -> flax variables, handling .pth and Orbax.
+
+    ``use_ema=True`` serves the EMA weights (TrainState.ema_params from a
+    ``--ema_decay`` run) instead of the raw SGD params; it errors on
+    checkpoints that carry none rather than silently falling back.
+    """
     import jax
 
     def load(path):
         if str(path).endswith((".pth", ".pkl")):
+            if use_ema:
+                raise ValueError(
+                    "--use_ema needs an Orbax TrainState checkpoint; "
+                    ".pth files carry only raw weights")
             init = model.init(jax.random.PRNGKey(0))
             from refinedet_tpu.models.torch_import import load_weights
             params = load_weights(dict(init["params"]), str(path))
             return {"params": params}
         # Orbax checkpoints may be a bare variables dict or a full
-        # TrainState (step/params/opt_state/batch_stats) from the Trainer;
-        # restore template-free and pick out the model variables.
+        # TrainState (step/params/opt_state/batch_stats/ema_params) from
+        # the Trainer; restore template-free and pick out the variables.
         import orbax.checkpoint as ocp
         restored = ocp.StandardCheckpointer().restore(osp.abspath(path))
         if "params" in restored:
-            variables = {"params": restored["params"]}
+            params = restored["params"]
+            if use_ema:
+                if restored.get("ema_params") is None:
+                    raise ValueError(
+                        f"--use_ema: checkpoint {path} has no ema_params "
+                        "(train with --ema_decay > 0)")
+                params = restored["ema_params"]
+            variables = {"params": params}
             if restored.get("batch_stats") is not None:
                 variables["batch_stats"] = restored["batch_stats"]
             return variables
+        if use_ema:
+            raise ValueError(
+                f"--use_ema: checkpoint {path} is a bare variables dict "
+                "with no ema_params")
         return restored
 
     return load
@@ -148,7 +171,7 @@ def main():
         keep_top_k=args.keep_top_k, conf_thresh=args.confidence_threshold,
         nms_thresh=args.nms_threshold,
         objectness_thresh=args.objectness_thre)
-    load_fn = make_loader(model)
+    load_fn = make_loader(model, use_ema=args.use_ema)
     eval_model = model
     if args.int8:
         from refinedet_tpu.quant import (DEFAULT_QUANT_SKIP,

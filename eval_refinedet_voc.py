@@ -56,6 +56,9 @@ def parse_args():
     p.add_argument("--quant_skip", default=None,
                    help="comma-separated conv names kept bf16 under --int8 "
                         "(default: quant.DEFAULT_QUANT_SKIP)")
+    p.add_argument("--use_ema", action="store_true",
+                   help="serve the EMA weights (TrainState.ema_params "
+                        "from an --ema_decay run) instead of raw params")
     p.add_argument("--bias_correct", action="store_true",
                    help="with --int8: fold the expected weight-rounding "
                         "output error into each quantized conv's bias "
@@ -79,7 +82,7 @@ def main():
         nms_thresh=args.nms_threshold,
         objectness_thresh=args.objectness_thre)
     from eval_refinedet_coco import make_loader
-    variables = make_loader(model)(args.trained_model)
+    variables = make_loader(model, use_ema=args.use_ema)(args.trained_model)
     eval_model = model
     if args.int8:
         from refinedet_tpu.quant import (DEFAULT_QUANT_SKIP,

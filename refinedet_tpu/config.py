@@ -178,6 +178,7 @@ class TrainConfig:
     theta: float = 0.01  # ARM objectness filter for ODM positives
     max_boxes: int = 60  # static per-image GT padding
     grad_clip_norm: float = 0.0  # 0 = off (reference has no clipping)
+    ema_decay: float = 0.0  # >0: keep an EMA of params (0 = off, like ref)
     on_device_augment: bool = False  # fuse SSD augmentation into the step
     mean: Tuple[float, float, float] = (104.0, 117.0, 123.0)
     num_workers: int = 8

@@ -32,6 +32,7 @@ class TrainState(struct.PyTreeNode):
     params: Any
     opt_state: Any
     batch_stats: Any = None  # BN variant only
+    ema_params: Any = None   # ema_decay > 0 only (serving-side weights)
 
 
 def make_optimizer(lr_schedule, momentum: float = 0.9,
@@ -57,12 +58,14 @@ def make_optimizer(lr_schedule, momentum: float = 0.9,
 
 
 def create_train_state(model, rng, tx: optax.GradientTransformation,
-                       batch_size: int = 1) -> TrainState:
+                       batch_size: int = 1, ema: bool = False) -> TrainState:
     variables = model.init(rng, batch_size=batch_size)
     params = variables["params"]
     batch_stats = variables.get("batch_stats")
+    ema_params = jax.tree.map(jnp.copy, params) if ema else None
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
-                      opt_state=tx.init(params), batch_stats=batch_stats)
+                      opt_state=tx.init(params), batch_stats=batch_stats,
+                      ema_params=ema_params)
 
 
 def make_train_step(model, tx: optax.GradientTransformation,
@@ -86,6 +89,7 @@ def make_train_step(model, tx: optax.GradientTransformation,
     cfg: AnchorConfig = model.cfg
     priors = model.priors
     use_bn = model.use_bn
+    ema_decay = float(getattr(train_cfg, "ema_decay", 0.0))
     mean = tuple(augment_mean) if augment_mean is not None else (
         104.0, 117.0, 123.0)
     base_key = jax.random.PRNGKey(train_cfg.seed)
@@ -130,9 +134,23 @@ def make_train_step(model, tx: optax.GradientTransformation,
             state.params, state.batch_stats, images, boxes, labels, valid)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        new_ema = state.ema_params
+        if ema_decay > 0:
+            # Serving-side EMA (beyond-reference; the reference ships raw
+            # SGD weights). Warmup-ramped decay min(d, (1+t)/(10+t)) — the
+            # TF-OD-API schedule — so early steps track the fast-moving
+            # params instead of the random init; t is the post-update step
+            # count, making the EMA after step 1 a pure function of the
+            # first update rather than 90%+ random init.
+            t = (state.step + 1).astype(jnp.float32)
+            d = jnp.minimum(jnp.float32(ema_decay), (1.0 + t) / (10.0 + t))
+            new_ema = jax.tree.map(
+                lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
+                state.ema_params, new_params)
         new_state = state.replace(step=state.step + 1, params=new_params,
                                   opt_state=new_opt,
-                                  batch_stats=new_stats)
+                                  batch_stats=new_stats,
+                                  ema_params=new_ema)
         return new_state, metrics
 
     if mesh is None:

@@ -105,12 +105,14 @@ class Trainer:
 
     def init_state(self) -> TrainState:
         state = create_train_state(
-            self.model, jax.random.PRNGKey(self.cfg.seed), self.tx)
+            self.model, jax.random.PRNGKey(self.cfg.seed), self.tx,
+            ema=self.cfg.ema_decay > 0)
         return replicate(self.mesh, state)
 
     def resume(self, epoch: int) -> TrainState:
         template = create_train_state(
-            self.model, jax.random.PRNGKey(self.cfg.seed), self.tx)
+            self.model, jax.random.PRNGKey(self.cfg.seed), self.tx,
+            ema=self.cfg.ema_decay > 0)
         state = self.ckpt.restore(epoch, jax.tree.map(np.asarray, template))
         return replicate(self.mesh, state)
 

@@ -95,3 +95,67 @@ def test_train_step_zero_gt_is_stable(tiny_setup, rng):
                                    (images, boxes, labels, valid)))
     assert np.isfinite(float(metrics["loss"]))
     assert float(metrics["num_pos_arm"]) == 0
+
+
+def test_ema_tracks_manual_formula(tiny_setup, rng):
+    """EMA params follow e_t = d_t*e_{t-1} + (1-d_t)*p_t with the
+    warmup-ramped decay d_t = min(ema_decay, (1+t)/(10+t)); raw params
+    are identical to a no-EMA run (EMA is observe-only)."""
+    model, fresh_state, _ = tiny_setup
+    cfg = TrainConfig(batch_size=2, max_boxes=8, lr=1e-3, ema_decay=0.9)
+    sched = make_lr_schedule(cfg.lr, cfg.gamma, epoch_size=10, max_epoch=9)
+    tx = make_optimizer(sched, cfg.momentum, cfg.weight_decay)
+    state = create_train_state(model, jax.random.PRNGKey(0), tx, ema=True)
+    step = make_train_step(model, tx, cfg)
+
+    batch = tuple(jnp.asarray(x) for x in _fake_batch(rng))
+    expect = jax.tree.map(np.asarray, state.params)  # e_0 = p_0
+    for t in range(1, 4):
+        state, _ = step(state, *batch)
+        params = jax.tree.map(np.asarray, state.params)
+        d = min(0.9, (1.0 + t) / (10.0 + t))
+        expect = jax.tree.map(lambda e, p: e * d + p * (1.0 - d),
+                              expect, params)
+        got = jax.tree.map(np.asarray, state.ema_params)
+        for a, b in zip(jax.tree.leaves(expect), jax.tree.leaves(got)):
+            np.testing.assert_allclose(a, b, rtol=2e-6, atol=2e-7)
+    # EMA differs from the raw params (it actually averaged something)
+    diffs = [np.abs(a - b).max() for a, b in zip(
+        jax.tree.leaves(jax.tree.map(np.asarray, state.params)),
+        jax.tree.leaves(got))]
+    assert max(diffs) > 0
+
+
+def test_ema_checkpoint_roundtrip_and_loader(tmp_path, rng):
+    """ema_params survive the Orbax round trip and the eval drivers'
+    make_loader(use_ema=True) serves them; use_ema on an EMA-less
+    checkpoint errors instead of silently serving raw weights."""
+    from refinedet_tpu.train import CheckpointManager
+    from eval_refinedet_coco import make_loader
+
+    model = build_refinedet("train", 320, 2)
+    sched = make_lr_schedule(1e-3, 0.1, epoch_size=10, max_epoch=9)
+    tx = make_optimizer(sched)
+    state = create_train_state(model, jax.random.PRNGKey(0), tx, ema=True)
+    # make EMA distinguishable from raw params
+    state = state.replace(ema_params=jax.tree.map(
+        lambda p: p + 0.125, state.ema_params))
+    ckpt = CheckpointManager(str(tmp_path), "RefineDet320_TEST")
+    path = ckpt.save(state, 10)
+
+    variables = make_loader(model, use_ema=True)(path)
+    for a, b in zip(jax.tree.leaves(jax.tree.map(np.asarray,
+                                                 state.ema_params)),
+                    jax.tree.leaves(variables["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    raw = make_loader(model)(path)
+    leaf = jax.tree.leaves(raw["params"])[0]
+    np.testing.assert_array_equal(
+        np.asarray(leaf),
+        np.asarray(jax.tree.leaves(jax.tree.map(np.asarray,
+                                                state.params))[0]))
+
+    no_ema = create_train_state(model, jax.random.PRNGKey(0), tx)
+    path2 = ckpt.save(no_ema, 20)
+    with pytest.raises(ValueError, match="ema_params"):
+        make_loader(model, use_ema=True)(path2)

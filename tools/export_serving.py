@@ -65,6 +65,9 @@ def parse_args(argv=None):
                    choices=("bfloat16", "float32"),
                    help="compute dtype baked into the artifact (matches "
                         "the eval drivers' serving default)")
+    p.add_argument("--use_ema", action="store_true",
+                   help="export the EMA weights (TrainState.ema_params "
+                        "from an --ema_decay run) instead of raw params")
     p.add_argument("--int8", action="store_true",
                    help="serving: export the int8 PTQ twin from a "
                         "PRE-QUANTIZED Orbax checkpoint (written by "
@@ -102,7 +105,7 @@ def main(argv=None):
     else:
         model = build_refinedet(phase, args.input_size, args.num_classes,
                                 use_bn=args.bn, dtype=dtype)
-    variables = make_loader(model)(args.checkpoint)
+    variables = make_loader(model, use_ema=args.use_ema)(args.checkpoint)
     if args.int8:
         import jax
 

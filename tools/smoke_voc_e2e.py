@@ -48,6 +48,9 @@ def main():
     p.add_argument("--int8_max_drop", default=0.10, type=float,
                    help="max tolerated (bf16 - int8) mean-AP delta")
     p.add_argument("--root", default=None, help="reuse a fixture/workdir")
+    p.add_argument("--ema_decay", default=0.0, type=float,
+                   help=">0: train with an EMA of the weights and add an "
+                        "eval pass serving them (--use_ema)")
     args = p.parse_args()
 
     from data_fixtures import make_voc_dataset
@@ -78,6 +81,7 @@ def main():
                 "--batch_size", str(args.batch_size),
                 "--lr", str(args.lr), "--grad_clip", "5.0",
                 "--max_epoch", str(args.max_epoch),
+                "--ema_decay", str(args.ema_decay),
                 "--num_workers", "2", "--save_folder", save]
     train_refinedet.main()
     t_train = time.time() - t0
@@ -101,6 +105,21 @@ def main():
           f"(threshold {args.threshold})")
     assert mean_present >= args.threshold, (
         f"mean AP {mean_present:.4f} below {args.threshold}")
+
+    if args.ema_decay > 0:
+        # EMA serving pass: same checkpoint, --use_ema picks ema_params.
+        t0 = time.time()
+        sys.argv = ["eval_refinedet_voc.py", "--input_size", "320",
+                    "--voc_root", voc_root, "--trained_model", ckpt,
+                    "--batch_size", str(args.batch_size), "--use_ema",
+                    "--save_folder", osp.join(work, "eval_ema") + "/"]
+        aps_ema = eval_refinedet_voc.main()
+        t_ema = time.time() - t0
+        present_ema = {c: aps_ema[c] for c in CLASSES}
+        mean_ema = sum(present_ema.values()) / len(present_ema)
+        print(f"VOC e2e EMA(d={args.ema_decay}): eval {t_ema:.0f}s; "
+              f"mean AP (present) = {mean_ema:.4f}  "
+              f"delta vs raw = {mean_ema - mean_present:+.4f}")
 
     if not args.skip_int8:
         # int8 PTQ serving pass through the SAME real CLI on the SAME

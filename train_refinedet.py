@@ -63,6 +63,10 @@ def parse_args():
                         "host->device). Default 2x input_size; lower it "
                         "to cut transfer volume on thin hosts")
     p.add_argument("--grad_clip", default=0.0, type=float)
+    p.add_argument("--ema_decay", default=0.0, type=float,
+                   help="keep an EMA of the weights for serving (0 = off, "
+                        "the reference's behavior); checkpoints then carry "
+                        "ema_params, selected at eval with --use_ema")
     p.add_argument("--spatial_shards", default=1, type=int,
                    help="shard image height over a 'space' mesh axis "
                         "(devices = data_parallel x spatial_shards); for "
@@ -107,6 +111,7 @@ def main():
         max_epoch=args.max_epoch, num_workers=args.num_workers,
         worker_processes=args.worker_processes,
         seed=args.seed, grad_clip_norm=args.grad_clip,
+        ema_decay=args.ema_decay,
         on_device_augment=args.on_device_augment, mean=tuple(means),
         spatial_shards=args.spatial_shards)
     live = None
