@@ -1,12 +1,20 @@
-"""bench.py driver-artifact plumbing (round-2 verdict item #2).
+"""bench.py driver-artifact plumbing (round-2 item #2, probe-first per
+round-3 verdict item #1).
 
-BENCH_r02 was red because one tunnel hiccup produced a bare traceback the
-driver couldn't parse. These tests pin the hardened harness WITHOUT a
-backend (BENCH_SELFTEST hooks): success re-emits the child's JSON with
-rc 0; persistent failure retries MAX_ATTEMPTS times then emits a
-parseable error JSON with rc 1; a hung child is killed at the attempt
-timeout and NOT retried (a dead-hang tunnel must not eat the driver
-budget), also yielding parseable error JSON.
+BENCH_r02 was red because one tunnel hiccup produced a bare traceback;
+BENCH_r03 was red because the single 600 s measurement wait sampled a
+dead tunnel exactly once. These tests pin the probe-first harness WITHOUT
+a backend (BENCH_SELFTEST hooks):
+
+* success: probe passes, measurement JSON re-emitted with rc 0 and
+  persisted as the last-good record;
+* fail-fast measurement error: re-probed + retried up to MAX_ATTEMPTS,
+  then a parseable error JSON with rc 1;
+* hung measurement (after a good probe): killed at the attempt timeout
+  and NOT retried;
+* hung/failing probe: retried with backoff until ~80% of the budget,
+  never launching the expensive measurement, and the error JSON carries
+  the probe count plus the most recent last-good measurement.
 """
 
 import json
@@ -23,7 +31,9 @@ BENCH = osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
 def _run(selftest, **env_overrides):
     env = dict(os.environ)
     env["BENCH_SELFTEST"] = selftest
-    env.setdefault("BENCH_RETRY_BACKOFF_S", "0.1")
+    env.setdefault("BENCH_TOTAL_BUDGET_S", "10")
+    env.setdefault("BENCH_PROBE_TIMEOUT_S", "5")
+    env.setdefault("BENCH_PROBE_BACKOFF_S", "0.1")
     env.setdefault("BENCH_ATTEMPT_TIMEOUT_S", "5")
     for k, v in env_overrides.items():
         env[k] = v
@@ -35,30 +45,66 @@ def _run(selftest, **env_overrides):
     return proc.returncode, json.loads(lines[-1])
 
 
-def test_bench_success_reemits_child_json():
-    rc, out = _run("ok")
+def test_bench_success_reemits_child_json_and_persists(tmp_path):
+    lg = str(tmp_path / "last_good.json")
+    rc, out = _run("ok", BENCH_LAST_GOOD=lg)
     assert rc == 0
     assert out["metric"] == "refinedet320_inference_throughput"
     assert out["value"] == 1234.5
     assert out["vs_baseline"] == 10.0
+    with open(lg) as f:
+        rec = json.load(f)
+    assert rec["value"] == 1234.5 and rec["measured_at_unix"] > 0
 
 
-def test_bench_failure_retries_then_structured_error():
-    t0 = time.time()
-    rc, out = _run("fail", BENCH_RETRY_BACKOFF_S="0.2")
+def test_bench_failure_retries_then_structured_error(tmp_path):
+    rc, out = _run("fail", BENCH_LAST_GOOD=str(tmp_path / "lg.json"))
     assert rc == 1
     assert out["value"] is None
     assert "error" in out and out["error"]
-    # three attempts -> two backoff sleeps actually happened
-    assert time.time() - t0 >= 0.4
+    # fail-fast measurement errors loop back through probing up to the
+    # measurement-attempt cap
+    assert out["measure_attempts"] == 3
+    assert out["probe_attempts"] >= 3
+    assert "last_good" not in out  # nothing ever succeeded here
 
 
-def test_bench_hung_child_killed_not_retried():
+def test_bench_hung_measurement_killed_not_retried(tmp_path):
     t0 = time.time()
-    rc, out = _run("hang", BENCH_ATTEMPT_TIMEOUT_S="2")
+    rc, out = _run("hang", BENCH_ATTEMPT_TIMEOUT_S="2",
+                   BENCH_TOTAL_BUDGET_S="60",
+                   BENCH_LAST_GOOD=str(tmp_path / "lg.json"))
     dt = time.time() - t0
     assert rc == 1
     assert out["value"] is None
     assert "hung" in out["error"]
-    # one timeout (~2s), no second attempt (~4s+)
-    assert dt < 3.8, dt
+    assert out["measure_attempts"] == 1
+    # one probe + one 2s timeout, no second measurement (~4s+)
+    assert dt < 5.5, dt
+
+
+def test_bench_dead_tunnel_probes_across_budget_carries_last_good(tmp_path):
+    lg = str(tmp_path / "last_good.json")
+    # Seed a last-good record the way a prior healthy round would have.
+    rc, _ = _run("ok", BENCH_LAST_GOOD=lg)
+    assert rc == 0
+    # Now the tunnel "dies": every probe hangs. The harness must sample
+    # it several times, never start the 600s-class measurement, and ship
+    # the seeded last-good number inside the structured error.
+    rc, out = _run("probe_hang", BENCH_PROBE_TIMEOUT_S="1",
+                   BENCH_TOTAL_BUDGET_S="6", BENCH_LAST_GOOD=lg)
+    assert rc == 1
+    assert out["value"] is None
+    assert "probe" in out["error"]
+    assert out["probe_attempts"] >= 2
+    assert out["measure_attempts"] == 0
+    assert out["last_good"]["value"] == 1234.5
+
+
+def test_bench_probe_failfast_retried(tmp_path):
+    rc, out = _run("probe_fail", BENCH_TOTAL_BUDGET_S="6",
+                   BENCH_LAST_GOOD=str(tmp_path / "lg.json"))
+    assert rc == 1
+    assert out["probe_attempts"] >= 2
+    assert out["measure_attempts"] == 0
+    assert "probe rc=" in out["error"]
