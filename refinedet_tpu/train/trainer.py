@@ -110,10 +110,34 @@ class Trainer:
         return replicate(self.mesh, state)
 
     def resume(self, epoch: int) -> TrainState:
-        template = create_train_state(
-            self.model, jax.random.PRNGKey(self.cfg.seed), self.tx,
-            ema=self.cfg.ema_decay > 0)
-        state = self.ckpt.restore(epoch, jax.tree.map(np.asarray, template))
+        want_ema = self.cfg.ema_decay > 0
+
+        def template(ema: bool):
+            return jax.tree.map(np.asarray, create_train_state(
+                self.model, jax.random.PRNGKey(self.cfg.seed), self.tx,
+                ema=ema))
+
+        try:
+            state = self.ckpt.restore(epoch, template(want_ema))
+        except Exception as first_err:
+            # An EMA on/off mismatch between --ema_decay and the
+            # checkpoint surfaces as an opaque Orbax tree-structure error
+            # (ADVICE r3): retry with the flipped template and reconcile.
+            try:
+                state = self.ckpt.restore(epoch, template(not want_ema))
+            except Exception:
+                raise first_err  # genuinely incompatible checkpoint
+            if want_ema:
+                self.log(f"checkpoint epoch {epoch} has no EMA state; "
+                         "initializing EMA from the restored params "
+                         "(--ema_decay turned on at resume)")
+                state = state.replace(
+                    ema_params=jax.tree.map(np.copy, state.params))
+            else:
+                self.log(f"checkpoint epoch {epoch} carries EMA state but "
+                         "--ema_decay is 0; dropping it (pass --ema_decay "
+                         "to keep tracking)")
+                state = state.replace(ema_params=None)
         return replicate(self.mesh, state)
 
     def _maybe_checkpoint(self, state, epoch: int):

@@ -214,3 +214,47 @@ def test_trainer_resume_advances_augmentation_stream(tiny_coco, tmp_path):
     # the loader ran exactly one epoch, starting from the resume epoch
     assert dataset.epoch == 3
     assert trainer.loader.epoch == 4
+
+
+def test_trainer_resume_ema_onoff_mismatch(tiny_coco, tmp_path):
+    """Resuming a no-EMA checkpoint with --ema_decay initializes EMA from
+    the restored params; resuming an EMA checkpoint without the flag drops
+    the EMA state — neither dies in an opaque Orbax tree mismatch
+    (round-3 ADVICE item #2)."""
+    import jax
+
+    dataset = COCODetection(tiny_coco, [("sarship", "train")],
+                            SSDAugmentation(320, (104, 117, 123)))
+    model = build_refinedet("train", 320, 2)
+
+    def make_trainer(ema_decay, save):
+        cfg = TrainConfig(batch_size=2, max_boxes=8, lr=1e-5, max_epoch=2,
+                          num_workers=0, ema_decay=ema_decay)
+        return Trainer(model, dataset, cfg, save_folder=save,
+                       num_devices=2, log_fn=lambda s: None)
+
+    # off -> on: checkpoint without EMA, resume with --ema_decay
+    save = str(tmp_path / "w1")
+    t_off = make_trainer(0.0, save)
+    state = t_off.init_state()
+    assert state.ema_params is None
+    t_off.ckpt.save(state, 1)
+    t_on = make_trainer(0.999, save)
+    resumed = t_on.resume(1)
+    assert resumed.ema_params is not None
+    for a, b in zip(jax.tree_util.tree_leaves(resumed.ema_params),
+                    jax.tree_util.tree_leaves(resumed.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # on -> off: checkpoint with EMA, resume without the flag
+    save2 = str(tmp_path / "w2")
+    t_on2 = make_trainer(0.999, save2)
+    state2 = t_on2.init_state()
+    assert state2.ema_params is not None
+    t_on2.ckpt.save(state2, 1)
+    t_off2 = make_trainer(0.0, save2)
+    resumed2 = t_off2.resume(1)
+    assert resumed2.ema_params is None
+    for a, b in zip(jax.tree_util.tree_leaves(resumed2.params),
+                    jax.tree_util.tree_leaves(state2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -139,9 +139,16 @@ def main():
         from refinedet_tpu.models.torch_import import load_weights
         state = trainer.init_state()
         params = load_weights(dict(state.params), args.basenet)
-        state = state.replace(params=type(state.params)(params)
-                              if not isinstance(state.params, dict)
-                              else params)
+        if not isinstance(state.params, dict):
+            params = type(state.params)(params)
+        state = state.replace(params=params)
+        if state.ema_params is not None:
+            # EMA must start from the warm-start weights, not the random
+            # init create_train_state copied before the load (ADVICE r3).
+            import jax
+            import jax.numpy as jnp
+            state = state.replace(
+                ema_params=jax.tree.map(jnp.copy, state.params))
         print(f"loaded pretrained backbone from {args.basenet}")
 
     print("Loading the dataset...")
