@@ -48,7 +48,8 @@ class RefineDetModel:
     def __init__(self, phase: str, size: int, num_classes: int,
                  detector: Optional[Detect_RefineDet] = None,
                  use_bn: bool = False, dtype: Any = jnp.float32,
-                 quant: bool = False, quant_skip: tuple = ()):
+                 quant: bool = False, quant_skip: tuple = (),
+                 stem_s2d: bool = False):
         if phase not in ("train", "test"):
             raise ValueError(f"phase must be 'train' or 'test', got {phase!r}")
         if size not in (320, 512, 896):
@@ -65,9 +66,14 @@ class RefineDetModel:
         self.quant = quant
         self.cfg = anchor_config_for(size, num_classes)
         self.quant_skip = tuple(quant_skip)
+        if stem_s2d and phase != "test":
+            raise ValueError("stem_s2d is an inference-only serving "
+                             "transform; use phase='test'")
+        self.stem_s2d = stem_s2d
         self.module = RefineDet(size=size, num_classes=num_classes,
                                 use_bn=use_bn, dtype=dtype, quant=quant,
-                                quant_skip=tuple(quant_skip))
+                                quant_skip=tuple(quant_skip),
+                                stem_s2d=stem_s2d)
         self.priors = jnp.asarray(generate_priors(self.cfg))
         self.detect = detector
 
@@ -109,16 +115,19 @@ def build_refinedet(phase: str, size: int = 320, num_classes: int = 21,
                     detector: Optional[Detect_RefineDet] = None,
                     use_bn: bool = False, dtype: Any = jnp.float32,
                     quant: bool = False,
-                    quant_skip: tuple = ()) -> RefineDetModel:
+                    quant_skip: tuple = (),
+                    stem_s2d: bool = False) -> RefineDetModel:
     """API-parity builder (refinedet.py:278-291).
 
     ``quant=True`` builds the int8 serving twin (QuantConv trunk/TCB);
     fill its variables with refinedet_tpu.quant.quantize_model.
     ``quant_skip`` keeps the named convs unquantized.
+    ``stem_s2d`` builds the space-to-depth-stem serving twin; fill its
+    variables with models.stem_s2d.fold_stem_variables.
     """
     return RefineDetModel(phase, size, num_classes, detector=detector,
                           use_bn=use_bn, dtype=dtype, quant=quant,
-                          quant_skip=quant_skip)
+                          quant_skip=quant_skip, stem_s2d=stem_s2d)
 
 
 def build_refinedet_bn(phase: str, size: int = 320, num_classes: int = 21,

@@ -70,6 +70,18 @@ class RefineDet(nn.Module):
     # to keep unquantized (accuracy/speed knob).
     quant: bool = False
     quant_skip: Tuple[str, ...] = ()
+    # Space-to-depth stem (inference-only serving transform): replaces
+    # conv1_1/conv1_2/pool1 with their exact 2x2-blocked-layout
+    # equivalents so the stem's activations carry 256 channels (full
+    # 128-lane MXU fill vs 64-wide at 68%) and pool1 becomes a free
+    # elementwise max over the four block phases instead of a 2.1 GB HBM
+    # round trip. Weights are FOLDED from a standard checkpoint by
+    # models/stem_s2d.fold_stem_variables — the two models are
+    # numerically equivalent (tests/test_model.py). Costs 16/9 the stem
+    # FLOPs (a 3x3 s1 conv in 2x2-blocked space touches 16 candidate
+    # taps for 9 real ones); whether the MXU fill + pool fold pays for
+    # that is an empirical question answered by tools/bench_stem_s2d.py.
+    stem_s2d: bool = False
 
     def _conv(self, features, kernel, name, *, strides=1, padding=0,
               dilation=1, init=_he, quantizable=False):
@@ -137,8 +149,41 @@ class RefineDet(nn.Module):
         x = x.astype(self.dtype)
         sources = []
 
+        vgg_cfg = VGG_CFG
+        if self.stem_s2d:
+            if self.use_bn or self.quant:
+                raise ValueError("stem_s2d is a plain-model serving "
+                                 "transform (no BN/quant folding)")
+            # conv1_1 as a 4x4/s2 conv emitting the 2x2-blocked layout of
+            # its 320^2 x 64 output: channel group (di,dj) of the 256
+            # outputs holds logical pixel (2i+di, 2j+dj). Exactly the
+            # original conv (kernel rearranged with structured zeros by
+            # fold_stem_variables); relu is blocked-layout-invariant.
+            x = nn.Conv(features=4 * 64, kernel_size=(4, 4), strides=(2, 2),
+                        padding=((1, 1), (1, 1)), kernel_init=_he,
+                        bias_init=nn.initializers.zeros, dtype=self.dtype,
+                        param_dtype=jnp.float32, name="stem_conv1")(x)
+            x = nn.relu(x)
+            # conv1_2 split into its four stride-2 phases, each a 2x2
+            # blocked conv over the 256-ch layout; max over the phases IS
+            # pool1 (pool commutes with the later relu: both are maxes).
+            phases = []
+            for di in (0, 1):
+                for dj in (0, 1):
+                    phases.append(nn.Conv(
+                        features=64, kernel_size=(2, 2), strides=(1, 1),
+                        padding=((1 - di, di), (1 - dj, dj)),
+                        kernel_init=_he, bias_init=nn.initializers.zeros,
+                        dtype=self.dtype, param_dtype=jnp.float32,
+                        name=f"stem_conv2_{di}{dj}")(x))
+            x = phases[0]
+            for ph in phases[1:]:
+                x = jnp.maximum(x, ph)
+            x = nn.relu(x)
+            vgg_cfg = VGG_CFG[3:]  # conv1_1, conv1_2, pool1 consumed
+
         # --- VGG trunk ---
-        for item in VGG_CFG:
+        for item in vgg_cfg:
             if item == "M":
                 x = max_pool_2x2(x)
             elif item == "C":
