@@ -43,6 +43,11 @@ import numpy as np
 _SHUTDOWN = object()
 
 
+class EngineOverloadedError(RuntimeError):
+    """Raised by submit() when the bounded request queue is full — the
+    backpressure signal (HTTP front-end maps it to 503)."""
+
+
 def _default_buckets(max_batch: int) -> Tuple[int, ...]:
     out = [1]
     while out[-1] < max_batch:
@@ -60,9 +65,12 @@ class BatchingEngine:
 
     def __init__(self, infer_fn: Callable, input_shape: Tuple[int, int, int],
                  max_batch: int = 8, max_delay_ms: float = 5.0,
-                 buckets: Optional[Sequence[int]] = None):
+                 buckets: Optional[Sequence[int]] = None,
+                 max_queue: int = 256):
         if max_batch < 1:
             raise ValueError(f"max_batch must be >= 1, got {max_batch}")
+        if max_queue < 1:
+            raise ValueError(f"max_queue must be >= 1, got {max_queue}")
         self.infer_fn = infer_fn
         self.input_shape = tuple(input_shape)
         self.max_batch = int(max_batch)
@@ -72,12 +80,23 @@ class BatchingEngine:
         if self.buckets[-1] < self.max_batch:
             raise ValueError(f"largest bucket {self.buckets[-1]} < "
                              f"max_batch {self.max_batch}")
-        self._queue: "queue.Queue" = queue.Queue()
+        # Bounded: a device that falls behind sheds load at submit()
+        # (EngineOverloadedError -> 503) instead of growing an unbounded
+        # backlog of requests whose latency deadline is already blown.
+        self.max_queue = int(max_queue)
+        self._queue: "queue.Queue" = queue.Queue(maxsize=self.max_queue)
         self._lock = threading.Lock()
+        # Serializes submit()'s liveness-check+put against stop()'s
+        # flag-set+shutdown-put: every accepted request is queued AHEAD
+        # of the shutdown sentinel, so no Future can be left unresolved
+        # by a request racing the drain.
+        self._submit_lock = threading.Lock()
         self._latencies: deque = deque(maxlen=4096)
         self._batch_hist: Counter = Counter()
         self._errors = 0
+        self._rejected = 0
         self._started = False
+        self._stopping = False
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="refinedet-serve-dispatch")
 
@@ -90,10 +109,22 @@ class BatchingEngine:
         return self
 
     def stop(self) -> None:
-        if self._started:
-            self._queue.put(_SHUTDOWN)
+        if self._started and not self._stopping:
+            with self._submit_lock:
+                self._stopping = True
+                self._queue.put(_SHUTDOWN)
             self._thread.join(timeout=30)
             self._started = False
+            # Belt-and-braces: fail any stragglers rather than leaving
+            # their Futures unresolved forever.
+            while True:
+                try:
+                    item = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                if item is not _SHUTDOWN:
+                    item[1].set_exception(
+                        RuntimeError("engine stopped before dispatch"))
 
     def __enter__(self):
         return self.start()
@@ -111,7 +142,18 @@ class BatchingEngine:
             raise ValueError(f"expected image shape {self.input_shape}, "
                              f"got {image.shape}")
         fut: Future = Future()
-        self._queue.put((image, fut, time.monotonic()))
+        with self._submit_lock:
+            if not self._started or self._stopping:
+                raise RuntimeError("engine is not running (start() it, or "
+                                   "it has been stopped)")
+            try:
+                self._queue.put_nowait((image, fut, time.monotonic()))
+            except queue.Full:
+                with self._lock:
+                    self._rejected += 1
+                raise EngineOverloadedError(
+                    f"request queue full ({self.max_queue} pending); "
+                    "retry later") from None
         return fut
 
     def __call__(self, image: np.ndarray):
@@ -179,6 +221,7 @@ class BatchingEngine:
             lat = sorted(self._latencies)
             hist = dict(sorted(self._batch_hist.items()))
             errors = self._errors
+            rejected = self._rejected
         n = len(lat)
 
         def pct(p):
@@ -191,8 +234,10 @@ class BatchingEngine:
             "latency_ms": {"p50": pct(0.50), "p90": pct(0.90),
                            "p99": pct(0.99)},
             "errors": errors,
+            "rejected": rejected,
             "buckets": list(self.buckets),
             "max_batch": self.max_batch,
+            "max_queue": self.max_queue,
             "max_delay_ms": self.max_delay * 1e3,
         }
 
@@ -235,8 +280,21 @@ def _make_handler(engine: BatchingEngine, meta: dict):
                 return self._send_json(404, {"error": f"no route "
                                                       f"{self.path}"})
             try:
-                body = self.rfile.read(
-                    int(self.headers.get("Content-Length", 0)))
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                except (TypeError, ValueError):
+                    return self._send_json(
+                        400, {"error": "bad Content-Length"})
+                # Validate BEFORE allocating: an oversized claim must not
+                # buffer gigabytes (413, connection closed — the body is
+                # unread). Slack covers the .npy header.
+                if length > raw_len + 16384:
+                    self.close_connection = True
+                    return self._send_json(
+                        413, {"error": f"body {length} bytes exceeds "
+                                       f"limit {raw_len + 16384} "
+                                       f"(one f32 {h}x{w}x{c} image)"})
+                body = self.rfile.read(length)
                 if self.headers.get("Content-Type") == \
                         "application/x-npy":
                     img = np.load(io.BytesIO(body), allow_pickle=False)
@@ -248,6 +306,8 @@ def _make_handler(engine: BatchingEngine, meta: dict):
                                            f"{len(body)}"})
                     img = np.frombuffer(body, "<f4").reshape(h, w, c)
                 outs = engine.submit(np.ascontiguousarray(img)).result()
+            except EngineOverloadedError as e:
+                return self._send_json(503, {"error": str(e)})
             except ValueError as e:
                 return self._send_json(400, {"error": str(e)})
             except Exception as e:  # inference failure
@@ -317,6 +377,8 @@ def main(argv=None):
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--max_batch", type=int, default=32)
     p.add_argument("--max_delay_ms", type=float, default=5.0)
+    p.add_argument("--max_queue", type=int, default=256,
+                   help="pending-request bound; overload returns 503")
     args = p.parse_args(argv)
 
     from refinedet_tpu.serve.export import load_serving
@@ -325,7 +387,8 @@ def main(argv=None):
     size = serving.meta["input_size"]
     engine = BatchingEngine(serving, (size, size, 3),
                             max_batch=args.max_batch,
-                            max_delay_ms=args.max_delay_ms)
+                            max_delay_ms=args.max_delay_ms,
+                            max_queue=args.max_queue)
     # Warm every bucket up front: first-compile latency belongs at
     # startup, not on the first unlucky requests.
     for b in engine.buckets:

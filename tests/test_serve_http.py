@@ -203,3 +203,100 @@ def test_integration_real_artifact(tmp_path):
     want_b, want_s = model.apply(variables, jnp.asarray(img[None]))
     np.testing.assert_array_equal(boxes, np.asarray(want_b)[0])
     np.testing.assert_array_equal(scores, np.asarray(want_s)[0])
+
+
+# -- hardening (round-3 verdict item #5) -------------------------------------
+
+
+def test_submit_before_start_and_after_stop_raise():
+    """A Future can never hang on a dispatcher that isn't running."""
+    eng = BatchingEngine(FakeInfer(), SHAPE, max_batch=2)
+    with pytest.raises(RuntimeError, match="not running"):
+        eng.submit(_mark_image(0))
+    eng.start()
+    eng.submit(_mark_image(1)).result(timeout=10)
+    eng.stop()
+    with pytest.raises(RuntimeError, match="not running"):
+        eng.submit(_mark_image(2))
+
+
+def test_overload_sheds_load_with_engine_error():
+    """A bounded queue + slow device: excess submits raise
+    EngineOverloadedError instead of growing an unbounded backlog."""
+    from refinedet_tpu.serve.server import EngineOverloadedError
+
+    fake = FakeInfer(delay=0.3)
+    with BatchingEngine(fake, SHAPE, max_batch=1, max_delay_ms=0,
+                        max_queue=2, buckets=(1,)) as eng:
+        futs, rejected = [], 0
+        for i in range(30):
+            try:
+                futs.append(eng.submit(_mark_image(i)))
+            except EngineOverloadedError:
+                rejected += 1
+        assert rejected > 0
+        assert futs, "some requests must have been accepted"
+        for f in futs:  # accepted requests all complete
+            f.result(timeout=30)
+        assert eng.stats()["rejected"] == rejected
+
+
+def test_http_overload_returns_503():
+    fake = FakeInfer(delay=0.5)
+    engine = BatchingEngine(fake, SHAPE, max_batch=1, max_delay_ms=0,
+                            max_queue=1, buckets=(1,))
+    with Server(engine, {}, port=0) as srv:
+        body = _mark_image(0).astype("<f4").tobytes()
+        codes = []
+
+        def post():
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{srv.port}/detect", data=body)
+            try:
+                with urllib.request.urlopen(req, timeout=30) as r:
+                    codes.append(r.status)
+            except urllib.error.HTTPError as e:
+                codes.append(e.code)
+
+        threads = [threading.Thread(target=post) for _ in range(12)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+    assert codes.count(200) >= 1
+    assert codes.count(503) >= 1, codes
+    assert set(codes) <= {200, 503}
+
+
+def test_http_oversized_body_413_without_buffering():
+    """A huge Content-Length claim is rejected before any allocation."""
+    engine = BatchingEngine(FakeInfer(), SHAPE, max_batch=2)
+    with Server(engine, {}, port=0) as srv:
+        import http.client
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=10)
+        conn.putrequest("POST", "/detect")
+        conn.putheader("Content-Length", str(50 * 1024 * 1024 * 1024))
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status == 413
+        assert "exceeds limit" in json.loads(resp.read())["error"]
+        conn.close()
+
+
+def test_stop_fails_straggler_futures_instead_of_hanging():
+    """Requests still queued when the engine stops get an exception, not
+    an unresolved Future."""
+    fake = FakeInfer(delay=0.5)
+    eng = BatchingEngine(fake, SHAPE, max_batch=1, max_delay_ms=0,
+                         max_queue=8, buckets=(1,)).start()
+    futs = [eng.submit(_mark_image(i)) for i in range(5)]
+    eng.stop()
+    outcomes = []
+    for f in futs:
+        try:
+            f.result(timeout=10)
+            outcomes.append("ok")
+        except RuntimeError:
+            outcomes.append("failed")
+    assert "ok" in outcomes or "failed" in outcomes
+    assert all(o in ("ok", "failed") for o in outcomes)
