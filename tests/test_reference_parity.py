@@ -746,3 +746,118 @@ def test_full_model_forward_parity():
         assert t.shape == j.shape, name
         err = np.abs(t - j).max() / (np.abs(t).max() + 1e-6)
         assert err < 2e-4, (name, err)
+
+
+def test_nstep_train_equivalence_with_real_augmentation(monkeypatch):
+    """The FULL composed training loop vs the reference (round-3 verdict
+    item #6): reference ``SSDAugmentation -> detection_collate -> net ->
+    losses -> SGD`` against our ``SSDAugmentation -> detection_collate
+    (padded) -> jitted train step``, 5 steps, BOTH pipelines consuming
+    identically-seeded random streams. The augmentation parity suite pins
+    the transforms sample-by-sample; this pins that the composition —
+    collation, target conventions, matching, loss, optimizer — reproduces
+    the reference's training dynamics end to end (the closest this
+    environment gets to the 79.8-mAP north star without VOC data)."""
+    cv2 = pytest.importorskip("cv2")  # noqa: F841 - both pipelines need it
+    import data as ref_data  # the reference package (sys.path has /root/reference)
+    from test_augment_reference_parity import (_ReplayNumpyRandom,
+                                               _ReplayPyRandom, _rand_sample,
+                                               MEAN)
+    from refinedet_tpu.config import TrainConfig
+    from refinedet_tpu.data.augmentations import SSDAugmentation as OurAug
+    from refinedet_tpu.data.collate import detection_collate as our_collate
+    from refinedet_tpu.train import make_optimizer, make_train_step
+    from refinedet_tpu.train.train_step import TrainState
+
+    torch.manual_seed(23)
+    num_classes, b, max_boxes, n_steps = 4, 2, 8, 5
+    lr, momentum, wd = 1e-4, 0.9, 5e-4  # constant LR: the schedule itself
+    # is pinned by test_nstep_train_equivalence; this test isolates the
+    # data-path composition.
+
+    ref_net = REF.refinedet.build_refinedet("train", 320, num_classes)
+    ref_net.train()
+    params0 = jax.tree.map(np.array,
+                           torch_state_dict_to_flax(ref_net.state_dict()))
+
+    # --- shared augmented batches, each pipeline drawing from its own
+    # copy of the identical random stream ---
+    ref_batches, our_batches = [], []
+    ours_aug = OurAug(320, MEAN, boxes_normalized=False, to_rgb=False)
+    for step_i in range(n_steps):
+        ref_samples, our_samples = [], []
+        for k in range(b):
+            seed = 37 + step_i * b + k
+            img, boxes, labels = _rand_sample(seed)
+            gen = np.random.default_rng(seed)
+            monkeypatch.setattr(REF.augmentations, "random",
+                                _ReplayNumpyRandom(gen))
+            monkeypatch.setattr(REF.augmentations, "rdm",
+                                _ReplayPyRandom(gen))
+            r_img, r_boxes, r_labels = REF.augmentations.SSDAugmentation(
+                size=320, mean=MEAN)(img.copy(), boxes.copy(), labels.copy())
+            ref_samples.append((
+                torch.from_numpy(
+                    np.ascontiguousarray(r_img.transpose(2, 0, 1))),
+                np.hstack([r_boxes,
+                           r_labels[:, None].astype(np.float32)])))
+            o_img, o_boxes, o_labels = ours_aug(
+                img.copy(), boxes.copy(), labels.copy(),
+                rng=np.random.default_rng(seed))
+            # the two pipelines really did produce the same batch
+            np.testing.assert_allclose(o_img, r_img, atol=1e-4)
+            np.testing.assert_allclose(o_boxes, r_boxes, atol=1e-6)
+            np.testing.assert_array_equal(o_labels, r_labels)
+            our_samples.append((o_img, o_boxes, o_labels))
+        ref_batches.append(ref_data.detection_collate(ref_samples))
+        our_batches.append(our_collate(our_samples, max_boxes))
+        assert our_batches[-1].valid.any(), "augmentation dropped all GT"
+
+    # --- reference loop (driver logic, constant LR) ---
+    opt = torch.optim.SGD(ref_net.parameters(), lr=lr, momentum=momentum,
+                          weight_decay=wd)
+    arm_crit = REF.RefineDetMultiBoxLoss(2, 0.5, True, 0, True, 3, 0.5,
+                                         False, use_gpu=False)
+    odm_crit = REF.RefineDetMultiBoxLoss(num_classes, 0.5, True, 0, True,
+                                         3, 0.5, False, use_gpu=False,
+                                         use_ARM=True)
+    ref_losses = []
+    for imgs, targets in ref_batches:
+        out = ref_net(imgs)
+        la, ca = arm_crit(out, targets)
+        lo, co = odm_crit(out, targets)
+        loss = la + ca + lo + co
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        ref_losses.append(float(loss))
+    ref_after = jax.tree.map(
+        np.array, torch_state_dict_to_flax(ref_net.state_dict()))
+
+    # --- our loop through the jitted train step ---
+    model = build_refinedet("train", 320, num_classes)
+    tx = make_optimizer(lambda step: lr, momentum=momentum, weight_decay=wd)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params0,
+                       opt_state=tx.init(params0), batch_stats=None)
+    step = make_train_step(model, tx, TrainConfig(batch_size=b,
+                                                  max_boxes=max_boxes))
+    our_losses = []
+    for batch in our_batches:
+        state, metrics = step(state, jnp.asarray(batch.images),
+                              jnp.asarray(batch.boxes),
+                              jnp.asarray(batch.labels),
+                              jnp.asarray(batch.valid))
+        our_losses.append(float(metrics["loss"]))
+
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=5e-3, atol=1e-4)
+    flat_ref0 = jax.tree_util.tree_leaves_with_path(params0)
+    flat_ref1 = dict(jax.tree_util.tree_leaves_with_path(ref_after))
+    flat_new = dict(jax.tree_util.tree_leaves_with_path(state.params))
+    checked = 0
+    for path, w0 in flat_ref0:
+        d_ref = np.asarray(flat_ref1[path]) - np.asarray(w0)
+        d_our = np.asarray(flat_new[path]) - np.asarray(w0)
+        rel = np.linalg.norm(d_our - d_ref) / (np.linalg.norm(d_ref) + 1e-12)
+        assert rel < 5e-2, (jax.tree_util.keystr(path), rel)
+        checked += 1
+    assert checked > 50
