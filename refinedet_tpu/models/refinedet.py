@@ -133,6 +133,15 @@ class RefineDet(nn.Module):
             self.sow("calib", f"{name}_mean", jnp.mean(xf, axis=0),
                      init_fn=lambda: jnp.zeros((cin,), jnp.float32),
                      reduce_fn=lambda prev, new: new)
+            if self.is_mutable_collection("calib_x"):
+                # Full input feature map: quant/gptq.py turns it into the
+                # per-layer im2col Hessian E[x x^T] for second-order
+                # weight-rounding optimization. Separate collection from
+                # 'calib' so the (heavy) capture only happens when the
+                # Hessian pass asks for it.
+                self.sow("calib_x", f"{name}_input", x.astype(jnp.float32),
+                         init_fn=lambda: jnp.zeros((), jnp.float32),
+                         reduce_fn=lambda prev, new: new)
             return conv(x)
 
         return conv_with_calibration

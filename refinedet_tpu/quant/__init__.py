@@ -1,3 +1,5 @@
+from refinedet_tpu.quant.gptq import (accumulate_hessians, conv_geometry,
+                                      gptq_round)
 from refinedet_tpu.quant.ptq import (DEFAULT_QUANT_SKIP,
                                      bias_correction_delta,
                                      calib_batches_from_dataset,
@@ -6,4 +8,5 @@ from refinedet_tpu.quant.ptq import (DEFAULT_QUANT_SKIP,
 
 __all__ = ["DEFAULT_QUANT_SKIP", "bias_correction_delta",
            "calib_batches_from_dataset", "calibrate_amax",
-           "quantize_model", "quantize_variables"]
+           "quantize_model", "quantize_variables",
+           "accumulate_hessians", "conv_geometry", "gptq_round"]

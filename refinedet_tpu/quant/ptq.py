@@ -142,7 +142,8 @@ def _clip_point(stat: Union[np.ndarray, float],
 
 def quantize_variables(model_q, variables, amax: Dict,
                        act_stat: str = "p9999",
-                       means: Optional[Dict] = None):
+                       means: Optional[Dict] = None,
+                       hessians: Optional[Dict] = None):
     """Fill the quantized model's variable tree from trained f32 variables.
 
     ``model_q`` is the ``quant=True`` twin (same size/num_classes/use_bn);
@@ -154,6 +155,11 @@ def quantize_variables(model_q, variables, amax: Dict,
     trained smoke, tools/smoke_int8.py); 'amax', 'p999' and 'p99' are the
     alternatives. Percentile clip points are floored at 1e-3 x the channel
     max so sparse channels don't saturate.
+
+    ``hessians`` (from ``quant.gptq.accumulate_hessians``) switches the
+    weight rounding of the covered convs from round-to-nearest to the
+    second-order GPTQ solver (``quant.gptq.gptq_round``) — same scales,
+    better grid points.
     """
     template = jax.eval_shape(
         lambda: model_q.init(jax.random.PRNGKey(0)))
@@ -204,8 +210,12 @@ def quantize_variables(model_q, variables, amax: Dict,
         w_folded = w * in_scale[None, None, :, None]
         w_scale = np.abs(w_folded).max(axis=(0, 1, 2)) / 127.0
         w_scale = np.maximum(w_scale, 1e-12).astype(np.float32)
-        kernel_q = np.clip(np.round(w_folded / w_scale),
-                           -127, 127).astype(np.int8)
+        if hessians is not None and name in hessians:
+            from refinedet_tpu.quant.gptq import gptq_round
+            kernel_q = gptq_round(w, in_scale, w_scale, hessians[name])
+        else:
+            kernel_q = np.clip(np.round(w_folded / w_scale),
+                               -127, 127).astype(np.int8)
         if means is not None:
             if name not in means:
                 raise KeyError(f"bias correction requested but no input "
@@ -247,16 +257,28 @@ def quantize_model(model, variables, calib_batches: Iterable,
                    amax: Optional[Dict] = None,
                    act_stat: str = "p9999",
                    quant_skip: tuple = DEFAULT_QUANT_SKIP,
-                   bias_correct: bool = False):
+                   bias_correct: bool = False,
+                   weight_opt: str = "none",
+                   weight_opt_names: Optional[tuple] = None):
     """One-call PTQ: calibrate on ``calib_batches`` (ignored if ``amax``
     given) and return (model_q, variables_q) — the int8 serving twin of
     ``model`` with the same detector/phase semantics. ``quant_skip``
     names convs to keep unquantized. ``bias_correct=True`` additionally
     folds the expected weight-rounding output error into each quantized
     conv's bias (``bias_correction_delta``) using the calibration
-    stream's input means."""
+    stream's input means. ``weight_opt='gptq'`` replaces round-to-nearest
+    with the second-order rounding solver (quant/gptq.py), which needs a
+    second pass over ``calib_batches`` for the per-layer input Hessians;
+    ``weight_opt_names`` optionally restricts it to a subset of convs
+    (default: every quantized conv)."""
     from refinedet_tpu.models.builder import build_refinedet
 
+    if weight_opt not in ("none", "gptq"):
+        raise ValueError(f"weight_opt must be 'none' or 'gptq', "
+                         f"got {weight_opt!r}")
+    if weight_opt == "gptq":
+        # the Hessian pass re-consumes the stream; materialize generators
+        calib_batches = list(calib_batches)
     means = None
     if amax is None:
         if bias_correct:
@@ -264,13 +286,19 @@ def quantize_model(model, variables, calib_batches: Iterable,
                                          return_means=True)
         else:
             amax = calibrate_amax(model, variables, calib_batches)
-    elif bias_correct:
-        raise ValueError("bias_correct needs the calibration stream's "
-                         "input means; pass calib_batches instead of a "
+    elif bias_correct or weight_opt == "gptq":
+        raise ValueError("bias_correct/weight_opt need the calibration "
+                         "stream; pass calib_batches instead of a "
                          "precomputed amax")
+    hessians = None
+    if weight_opt == "gptq":
+        from refinedet_tpu.quant.gptq import accumulate_hessians
+        hessians = accumulate_hessians(model, variables, calib_batches,
+                                       names=weight_opt_names)
     model_q = build_refinedet(
         "test", model.size, model.num_classes, detector=model.detect,
         use_bn=model.use_bn, dtype=dtype, quant=True,
         quant_skip=quant_skip)
     return model_q, quantize_variables(model_q, variables, amax,
-                                       act_stat=act_stat, means=means)
+                                       act_stat=act_stat, means=means,
+                                       hessians=hessians)

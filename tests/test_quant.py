@@ -267,3 +267,154 @@ def test_default_quant_skip_keeps_early_vgg_f32(rng):
         assert "kernel_q" not in vq["params"][name], name
         assert "kernel" in vq["params"][name]
     assert "kernel_q" in vq["params"]["vgg_conv3_1"]
+
+
+# -- GPTQ second-order weight rounding (quant/gptq.py) -----------------------
+
+
+def _layer_mse(x_patches, w_mat_true, q, w_scale):
+    """Calibration-stream output MSE of a rounding choice."""
+    w_hat = q.astype(np.float64) * np.asarray(w_scale, np.float64)
+    d = x_patches @ (w_mat_true - w_hat)
+    return float(np.mean(d ** 2))
+
+
+def test_patch_order_matches_conv(rng):
+    """conv_general_dilated_patches emits (c, kh, kw)-major features —
+    the ordering quant/gptq.py builds its Hessians and weight matrices
+    in. Pinned against a real dilated+strided conv."""
+    from jax import lax
+
+    x = jnp.asarray(rng.randn(2, 13, 13, 5).astype(np.float32))
+    w = rng.randn(3, 3, 5, 7).astype(np.float32)
+    for stride, pad, dil in ((1, 1, 1), (2, 1, 1), (1, 3, 3)):
+        out = lax.conv_general_dilated(
+            x, jnp.asarray(w), (stride, stride), ((pad, pad), (pad, pad)),
+            rhs_dilation=(dil, dil),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        p = lax.conv_general_dilated_patches(
+            x, (3, 3), (stride, stride), ((pad, pad), (pad, pad)),
+            rhs_dilation=(dil, dil),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        pm = np.asarray(p).reshape(-1, 45)
+        wm = w.transpose(2, 0, 1, 3).reshape(45, 7)  # (c, kh, kw)-major
+        np.testing.assert_allclose(pm @ wm,
+                                   np.asarray(out).reshape(-1, 7),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_gptq_exact_on_grid(rng):
+    """Weights already on the int8 grid round to themselves — the error
+    feedback must not perturb an exact solution."""
+    from refinedet_tpu.quant import gptq_round
+
+    kh = kw = 3
+    cin, cout = 4, 6
+    w_scale = np.full(cout, 0.05, np.float32)
+    in_scale = rng.uniform(0.5, 2.0, cin).astype(np.float32)
+    q_true = rng.randint(-127, 128, (kh, kw, cin, cout)).astype(np.float32)
+    w = q_true * w_scale / in_scale[None, None, :, None]
+    x = rng.randn(500, kh * kw * cin).astype(np.float32)
+    h = (x.T @ x / len(x)).astype(np.float32)
+    # hessian is for RAW inputs; map patch dims back through in_scale
+    s_rep = np.repeat(in_scale, kh * kw)
+    h_raw = h * (s_rep[:, None] * s_rep[None, :])
+    q = gptq_round(w.astype(np.float32), in_scale, w_scale, h_raw)
+    np.testing.assert_array_equal(
+        q, q_true.astype(np.int8))
+
+
+def test_gptq_beats_round_to_nearest(rng):
+    """On a correlated input distribution the second-order rounding gives
+    strictly lower calibration-stream output MSE than round-to-nearest."""
+    from refinedet_tpu.quant import gptq_round
+
+    kh = kw = 1  # pure matmul layer keeps the bookkeeping transparent
+    cin, cout = 24, 16
+    # strongly correlated inputs: where RTN is most suboptimal
+    basis = rng.randn(6, cin).astype(np.float32)
+    x = rng.randn(2000, 6).astype(np.float32) @ basis \
+        + 0.05 * rng.randn(2000, cin).astype(np.float32)
+    w = rng.randn(kh, kw, cin, cout).astype(np.float32)
+    in_scale = np.abs(x).max(axis=0).astype(np.float32) / 127.0
+    w_folded = w * in_scale[None, None, :, None]
+    w_scale = (np.abs(w_folded).max(axis=(0, 1, 2)) / 127.0).astype(
+        np.float32)
+    h_raw = (x.T @ x / len(x)).astype(np.float32)
+
+    q_gptq = gptq_round(w, in_scale, w_scale, h_raw)
+    q_rtn = np.clip(np.round(w_folded / w_scale), -127, 127).astype(np.int8)
+
+    xf = x / in_scale  # folded activations, as QuantConv sees them
+    wm = w_folded.reshape(cin, cout)
+    mse_gptq = _layer_mse(xf, wm, q_gptq.reshape(cin, cout), w_scale)
+    mse_rtn = _layer_mse(xf, wm, q_rtn.reshape(cin, cout), w_scale)
+    assert mse_gptq < mse_rtn * 0.9, (mse_gptq, mse_rtn)
+
+
+def test_accumulate_hessians_and_geometry(rng):
+    """The Hessian capture covers every quantizable conv with the right
+    patch dimension K = kh*kw*cin for its geometry (incl. the dilated
+    conv6 and strided extra_conv2), and streams across batches (two
+    batches == one doubled batch up to normalization)."""
+    from refinedet_tpu.quant import accumulate_hessians, conv_geometry
+
+    model = build_refinedet("test", 320, 2)
+    variables = model.init(jax.random.PRNGKey(0))
+    imgs = rng.uniform(-120, 130, (2, 320, 320, 3)).astype(np.float32)
+
+    hs = accumulate_hessians(model, variables, [imgs], max_sub_batch=2)
+    assert sorted(hs) == sorted(QUANTIZED_320)
+    for name in ("vgg_conv6", "extra_conv2", "vgg_conv7", "tcb2_0_conv"):
+        kshape = np.shape(variables["params"][name]["kernel"])
+        kh, kw, stride, pad, dil = conv_geometry(name, kshape)
+        kdim = kh * kw * kshape[2]
+        assert hs[name].shape == (kdim, kdim), name
+        # symmetric PSD-ish
+        np.testing.assert_allclose(hs[name], hs[name].T, atol=1e-2)
+    assert conv_geometry("vgg_conv6", (3, 3, 1024, 1024))[4] == 3
+    assert conv_geometry("extra_conv2", (3, 3, 256, 512))[2] == 2
+
+    hs2 = accumulate_hessians(model, variables,
+                              [imgs[:1], imgs[1:]], max_sub_batch=4)
+    np.testing.assert_allclose(hs2["vgg_conv7"], hs["vgg_conv7"],
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_quantize_model_gptq_end_to_end(rng):
+    """weight_opt='gptq' composes with the full PTQ path (+ bias
+    correction) and does not hurt the head-output error vs plain
+    rounding on the calibration distribution. Restricted to a few convs
+    via weight_opt_names to keep the 1-core-CPU solve time bounded; the
+    full-coverage path is what tools/ablate_int8.py runs on the chip."""
+    model = build_refinedet("test", 320, 3)
+    variables = model.init(jax.random.PRNGKey(0))
+    images = rng.uniform(-120, 130, (1, 320, 320, 3)).astype(np.float32)
+
+    ref = [np.asarray(r) for r in
+           model.raw_forward(variables, jnp.asarray(images))]
+
+    def err(mq, vq):
+        got = mq.raw_forward(vq, jnp.asarray(images))
+        return sum(np.linalg.norm(np.asarray(g) - r)
+                   / (np.linalg.norm(r) + 1e-12)
+                   for r, g in zip(ref, got))
+
+    m_rtn, v_rtn = quantize_model(model, variables, [images],
+                                  dtype=jnp.float32, quant_skip=())
+    m_gptq, v_gptq = quantize_model(
+        model, variables, [images], dtype=jnp.float32, quant_skip=(),
+        weight_opt="gptq", bias_correct=True,
+        weight_opt_names=("vgg_conv7", "extra_conv1", "tcb2_0_conv"))
+    for name in ("vgg_conv7", "extra_conv1", "tcb2_0_conv"):
+        assert not np.array_equal(
+            np.asarray(v_gptq["params"][name]["kernel_q"]),
+            np.asarray(v_rtn["params"][name]["kernel_q"])), \
+            f"{name}: GPTQ produced the identical rounding — suspicious"
+    e_rtn, e_gptq = err(m_rtn, v_rtn), err(m_gptq, v_gptq)
+    assert np.isfinite(e_gptq)
+    # on the calibration distribution itself GPTQ must not be worse
+    assert e_gptq < e_rtn * 1.02, (e_gptq, e_rtn)
+
+    with pytest.raises(ValueError, match="weight_opt"):
+        quantize_model(model, variables, [images], weight_opt="adaround")
