@@ -79,8 +79,12 @@ class RefineDet(nn.Module):
     # models/stem_s2d.fold_stem_variables — the two models are
     # numerically equivalent (tests/test_model.py). Costs 16/9 the stem
     # FLOPs (a 3x3 s1 conv in 2x2-blocked space touches 16 candidate
-    # taps for 9 real ones); whether the MXU fill + pool fold pays for
-    # that is an empirical question answered by tools/bench_stem_s2d.py.
+    # taps for 9 real ones). MEASURED NEGATIVE (tools/bench_stem_s2d.py,
+    # b128 @320 on the real chip): 1718 vs 2020 img/s (0.851x) — the
+    # structural overhead plus four phase convs each re-reading the
+    # blocked 256-ch features cost more than the MXU fill + folded pool
+    # save. Kept as a pinned negative result (like POOL_BACKWARD); the
+    # default path stays with the standard stem.
     stem_s2d: bool = False
 
     def _conv(self, features, kernel, name, *, strides=1, padding=0,

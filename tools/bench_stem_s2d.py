@@ -11,8 +11,11 @@ Usage:  python tools/bench_stem_s2d.py [--batch 128] [--iters 20]
 """
 
 import argparse
+import os.path as _osp
 import sys
 import time
+
+sys.path.insert(0, _osp.dirname(_osp.dirname(_osp.abspath(__file__))))
 
 import numpy as np
 
