@@ -35,6 +35,7 @@ _DEFAULT_PLATFORMS = ("tpu", "cpu")
 def export_inference(model, variables: Mapping,
                      batch_size: Optional[int] = None,
                      platforms: Sequence[str] = _DEFAULT_PLATFORMS,
+                     fused_nms: Optional[Mapping] = None,
                      ) -> jax.export.Exported:
     """Export ``model.apply(variables, images)`` with the weights baked in.
 
@@ -43,17 +44,79 @@ def export_inference(model, variables: Mapping,
     ``platforms`` lists the backends the artifact may run on; lowering is
     cross-platform (the artifact for TPU can be produced on a CPU host).
 
-    Note: with a fused-NMS detector attached, the NMS implementation baked
-    in is the portable XLA formulation chosen at trace time — the Pallas
-    TPU kernel is a runtime dispatch and is not embedded in a
-    cross-platform artifact.
+    ``fused_nms`` bakes the Evaluator's full post-processing into the
+    artifact (decode + per-class NMS + compaction,
+    eval/evaluator.py:_forward_postprocess): the output becomes
+    ``dets [B, C-1, K, 5]`` rows (x1, y1, x2, y2, score), normalized
+    0-1 coordinates, score-descending, zero-padded — ~100x less
+    device->host transfer than the raw (boxes, scores) pair. Keys (all
+    optional): nms_thresh, conf_thresh, objectness_thresh, variance,
+    nms_top_k, plus_one — defaults matching DetectConfig / Evaluator
+    (plus_one only accepts False: the +1 area convention is pixel-space,
+    and the artifact's boxes are normalized).
+
+    NMS backend is pinned at export time, not runtime-dispatched: a
+    TPU-ONLY artifact (``platforms=('tpu',)``) embeds the Pallas VMEM
+    suppression-sweep kernel (ops/nms_pallas.py); any cross-platform or
+    CPU artifact embeds the portable XLA formulation (ops/nms.py), which
+    the TPU compiler takes minutes to build and runs slower — export
+    TPU-only artifacts for TPU serving.
     """
     if model.phase != "test":
         raise ValueError("serving export requires a 'test'-phase model")
     frozen = jax.tree.map(jnp.asarray, dict(variables))
 
-    def fn(images):
-        return model.apply(frozen, images)
+    if fused_nms is None:
+        def fn(images):
+            return model.apply(frozen, images)
+    else:
+        from refinedet_tpu.config import DetectConfig
+        from refinedet_tpu.detect.detection import detect_refinedet
+        from refinedet_tpu.ops.dispatch import class_parallel_nms
+
+        known = {"nms_thresh", "conf_thresh", "objectness_thresh",
+                 "variance", "nms_top_k", "plus_one"}
+        unknown = set(fused_nms) - known
+        if unknown:
+            raise ValueError(f"fused_nms: unknown keys {sorted(unknown)}; "
+                             f"known: {sorted(known)}")
+        dc = DetectConfig(num_classes=model.num_classes)
+        nms_thresh = float(fused_nms.get("nms_thresh", dc.nms_thresh))
+        conf_thresh = float(fused_nms.get("conf_thresh", dc.conf_thresh))
+        obj_thresh = float(fused_nms.get("objectness_thresh",
+                                         dc.objectness_thresh))
+        variance = tuple(fused_nms.get("variance", dc.variance))
+        nms_top_k = int(fused_nms.get("nms_top_k", 200))
+        plus_one = bool(fused_nms.get("plus_one", False))
+        if plus_one:
+            # The +1 area convention (reference cpu_nms.pyx:17-68) is a
+            # PIXEL-space quirk; the artifact's boxes are normalized 0-1,
+            # where +1 would swamp every area and pass all IoU tests.
+            # The evaluator applies it after scaling to pixels — a fused
+            # artifact has no image scales, so it cannot.
+            raise ValueError(
+                "fused_nms: plus_one=True is pixel-space semantics; the "
+                "artifact runs NMS on normalized 0-1 boxes (scale-invariant "
+                "only without +1). Use plus_one=False (default).")
+        # Pin the NMS implementation to the artifact's platform set —
+        # the runtime dispatch (ops/dispatch.py) cannot live inside a
+        # cross-platform artifact.
+        nms_backend = "tpu" if tuple(platforms) == ("tpu",) else "cpu"
+
+        def fn(images):
+            heads = model.raw_forward(frozen, images)
+            arm_loc, arm_conf, odm_loc, odm_conf = heads
+            arm_p = jax.nn.softmax(arm_conf, axis=-1)
+            odm_p = jax.nn.softmax(odm_conf, axis=-1)
+            boxes, scores = detect_refinedet(
+                arm_loc, arm_p, odm_loc, odm_p, model.priors,
+                variances=variance, objectness_thresh=obj_thresh)
+            cls_scores = jnp.moveaxis(scores[..., 1:], -1, 1)
+            bx, sc = class_parallel_nms(
+                boxes[:, None], cls_scores, nms_thresh,
+                top_k=nms_top_k, score_thresh=conf_thresh,
+                plus_one=plus_one, backend=nms_backend)
+            return jnp.concatenate([bx, sc[..., None]], axis=-1)
 
     if batch_size is None:
         (b,) = jax.export.symbolic_shape("b")
@@ -63,7 +126,14 @@ def export_inference(model, variables: Mapping,
     return jax.export.export(jax.jit(fn), platforms=list(platforms))(spec)
 
 
-def _metadata(model, batch_size, exported) -> Dict[str, Any]:
+def _metadata(model, batch_size, exported, fused_nms=None) -> Dict[str, Any]:
+    if fused_nms is None:
+        output = ("(boxes[b,N,4], scores[b,N,C]) raw Detect_RefineDet "
+                  "path unless a fused-NMS detector was attached")
+    else:
+        output = ("dets[b, C-1, K, 5] (x1, y1, x2, y2, score), normalized "
+                  "0-1 coords, per-class NMS'd, score-descending, "
+                  "zero-padded")
     return {
         "format": "refinedet-tpu-serving",
         "input_size": model.size,
@@ -72,20 +142,21 @@ def _metadata(model, batch_size, exported) -> Dict[str, Any]:
         "use_bn": model.use_bn,
         "int8": bool(model.quant),
         "platforms": list(exported.platforms),
+        "fused_nms": dict(fused_nms) if fused_nms is not None else None,
         "input": "NHWC float32, mean-subtracted RGB (BaseTransform)",
-        "output": ("(boxes[b,N,4], scores[b,N,C]) raw Detect_RefineDet "
-                   "path unless a fused-NMS detector was attached"),
+        "output": output,
         "jax_version": jax.__version__,
     }
 
 
 def save_serving(model, variables: Mapping, path: str,
                  batch_size: Optional[int] = None,
-                 platforms: Sequence[str] = _DEFAULT_PLATFORMS) -> dict:
+                 platforms: Sequence[str] = _DEFAULT_PLATFORMS,
+                 fused_nms: Optional[Mapping] = None) -> dict:
     """Export + write a serving artifact; returns its metadata dict."""
     exported = export_inference(model, variables, batch_size=batch_size,
-                                platforms=platforms)
-    meta = _metadata(model, batch_size, exported)
+                                platforms=platforms, fused_nms=fused_nms)
+    meta = _metadata(model, batch_size, exported, fused_nms=fused_nms)
     blob = bytes(exported.serialize())
     header = json.dumps(meta, sort_keys=True).encode("utf-8")
     with open(path, "wb") as f:

@@ -319,13 +319,23 @@ def _make_handler(engine: BatchingEngine, meta: dict):
     return ServingHandler
 
 
+class _ServingHTTPServer(ThreadingHTTPServer):
+    # The stdlib default listen backlog of 5 RSTs bursts of concurrent
+    # connects on loopback long before the engine queue is the limit
+    # (measured: 64 simultaneous clients lose ~11% of requests to
+    # ECONNRESET at backlog 5, zero at 128). Size it to the engine's
+    # admission bound — the queue's 503 path is the intended shedding
+    # mechanism, not the kernel's accept queue.
+    request_queue_size = 128
+
+
 class Server:
     """HTTP serving host: ``Server(engine, meta, port).start()``."""
 
     def __init__(self, engine: BatchingEngine, meta: dict, port: int = 0,
                  host: str = "127.0.0.1"):
         self.engine = engine
-        self.httpd = ThreadingHTTPServer(
+        self.httpd = _ServingHTTPServer(
             (host, port), _make_handler(engine, meta))
         self.port = self.httpd.server_address[1]
         self._thread = threading.Thread(

@@ -176,3 +176,101 @@ def test_cross_platform_artifact_runs_on_cpu(tmp_path, model_and_vars):
     want_b, _ = model.apply(variables, jnp.asarray(img))
     np.testing.assert_allclose(np.asarray(got_b), np.asarray(want_b),
                                atol=1e-6)
+
+
+def _evaluator_for(model, nms_top_k=64, plus_one=False):
+    from refinedet_tpu.config import DetectConfig
+    from refinedet_tpu.eval import Evaluator
+
+    cfg = DetectConfig(num_classes=model.num_classes)
+    return Evaluator(model, None, cfg, None, batch_size=2,
+                     nms_top_k=nms_top_k, plus_one=plus_one,
+                     log=lambda s: None)
+
+
+def test_fused_nms_artifact_matches_evaluator(tmp_path, model_and_vars):
+    """--fused_nms bakes the Evaluator's whole post-processing (decode +
+    per-class NMS + compaction) into the artifact: output must equal
+    Evaluator._forward_postprocess on unit scales, and the metadata must
+    describe the dets layout."""
+    model, variables = model_and_vars
+    path = str(tmp_path / "fused.rdtpu")
+    fused = {"nms_top_k": 64, "plus_one": False}
+    meta = save_serving(model, variables, path, platforms=("cpu",),
+                        fused_nms=fused)
+    assert meta["fused_nms"] == fused
+    assert "dets[b, C-1, K, 5]" in meta["output"]
+
+    serving = load_serving(path)
+    rng = np.random.RandomState(7)
+    img = _imgs(rng, 2)
+    got = np.asarray(serving(img))
+    assert got.shape == (2, model.num_classes - 1, 64, 5)
+
+    ev = _evaluator_for(model, nms_top_k=64, plus_one=False)
+    want = np.asarray(ev._forward_postprocess(
+        variables, jnp.asarray(img), jnp.ones((2, 4), jnp.float32)))
+    # The artifact and the live jit are separate XLA compilations of the
+    # same math; fusion choices differ by last-ulp (observed <= 1.2e-7),
+    # so tight allclose, not bitwise equality.
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_nms_int8_artifact_matches_live_quant(tmp_path,
+                                                    model_and_vars):
+    """The int8 PTQ twin composes with --fused_nms: the quantized
+    artifact's dets equal the live quantized model run through the same
+    Evaluator post-processing."""
+    from refinedet_tpu.quant import quantize_model
+
+    model, variables = model_and_vars
+    rng = np.random.RandomState(8)
+    model_q, vq = quantize_model(model, variables, [_imgs(rng, 2)])
+    path = str(tmp_path / "fused_int8.rdtpu")
+    meta = save_serving(model_q, vq, path, platforms=("cpu",),
+                        fused_nms={"nms_top_k": 32})
+    assert meta["int8"] is True and meta["fused_nms"]["nms_top_k"] == 32
+
+    img = _imgs(rng, 1)
+    got = np.asarray(load_serving(path)(img))
+    ev = _evaluator_for(model_q, nms_top_k=32, plus_one=False)
+    want = np.asarray(ev._forward_postprocess(
+        vq, jnp.asarray(img), jnp.ones((1, 4), jnp.float32)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_nms_unknown_key_rejected(model_and_vars):
+    model, variables = model_and_vars
+    with pytest.raises(ValueError, match="unknown keys.*top_k_typo"):
+        save_serving(model, variables, "/dev/null", platforms=("cpu",),
+                     fused_nms={"top_k_typo": 3})
+
+
+def test_fused_nms_plus_one_rejected(model_and_vars):
+    """+1 area is a pixel-space convention; the artifact's normalized
+    boxes make it meaningless, so the export refuses it outright."""
+    model, variables = model_and_vars
+    with pytest.raises(ValueError, match="plus_one.*pixel-space"):
+        save_serving(model, variables, "/dev/null", platforms=("cpu",),
+                     fused_nms={"plus_one": True})
+
+
+def test_fused_nms_tpu_only_export_embeds_pallas(tmp_path, model_and_vars):
+    """platforms=('tpu',) + fused NMS lowers the Pallas suppression-sweep
+    kernel into the artifact (a tpu.custom_call in the StableHLO): the
+    export must succeed on this CPU host (cross-platform lowering), carry
+    tpu-only metadata, and contain the Mosaic custom call the portable
+    XLA formulation never emits."""
+    model, variables = model_and_vars
+    path = str(tmp_path / "tpu_only.rdtpu")
+    meta = save_serving(model, variables, path, platforms=("tpu",),
+                        batch_size=2, fused_nms={"nms_top_k": 16})
+    assert meta["platforms"] == ["tpu"]
+    serving = load_serving(path)
+    hlo = serving.exported.mlir_module()
+    assert "tpu_custom_call" in hlo  # the Pallas kernel
+    # and the cross-platform twin must NOT embed it
+    path2 = str(tmp_path / "xplat_fused.rdtpu")
+    save_serving(model, variables, path2, platforms=("tpu", "cpu"),
+                 batch_size=2, fused_nms={"nms_top_k": 16})
+    assert "tpu_custom_call" not in load_serving(path2).exported.mlir_module()

@@ -52,8 +52,9 @@ def parse_args():
 
 def drive(submit_fn, images, n_clients, n_requests):
     """n_clients threads round-robin n_requests submissions; returns
-    (wall seconds, per-request latencies)."""
+    (wall seconds, successful-request latencies, error list)."""
     lat = [None] * n_requests
+    errors = []
     idx_lock = threading.Lock()
     next_idx = [0]
 
@@ -65,7 +66,12 @@ def drive(submit_fn, images, n_clients, n_requests):
                     return
                 next_idx[0] += 1
             t0 = time.monotonic()
-            submit_fn(images[i % len(images)])
+            try:
+                submit_fn(images[i % len(images)])
+            except Exception as e:  # count, don't crash the measurement
+                with idx_lock:
+                    errors.append(f"req {i}: {e!r}")
+                continue
             lat[i] = time.monotonic() - t0
 
     threads = [threading.Thread(target=worker) for _ in range(n_clients)]
@@ -74,7 +80,24 @@ def drive(submit_fn, images, n_clients, n_requests):
         t.start()
     for t in threads:
         t.join()
-    return time.monotonic() - t0, np.array(lat)
+    return (time.monotonic() - t0,
+            np.array([l for l in lat if l is not None]), errors)
+
+
+def _leg_stats(lat, wall, errors):
+    out = {
+        "ok": int(lat.size),
+        "errors": len(errors),
+        "req_per_s": round(lat.size / wall, 1) if lat.size else 0.0,
+    }
+    if lat.size:
+        out["p50_ms"] = round(float(np.median(lat)) * 1e3, 1)
+        out["p99_ms"] = round(float(np.percentile(lat, 99)) * 1e3, 1)
+    if errors:
+        out["first_error"] = errors[0]
+        print(f"  {len(errors)} failed requests; first: {errors[0]}",
+              file=sys.stderr, flush=True)
+    return out
 
 
 def main():
@@ -115,26 +138,18 @@ def main():
         # time twice, keep the second (first run of a fresh program can
         # absorb a one-time relay cost)
         for tag in ("engine-warm", "engine"):
-            wall, lat = drive(lambda im: engine.submit(im).result(),
-                              images, args.clients, args.requests)
-            results[tag] = {
-                "req_per_s": round(args.requests / wall, 1),
-                "p50_ms": round(float(np.median(lat)) * 1e3, 1),
-                "p99_ms": round(float(np.percentile(lat, 99)) * 1e3, 1),
-            }
+            wall, lat, errs = drive(lambda im: engine.submit(im).result(),
+                                    images, args.clients, args.requests)
+            results[tag] = _leg_stats(lat, wall, errs)
         stats_engine = engine.stats()
 
         if not args.skip_http:
             with Server(engine, serving.meta, port=0) as srv:
-                wall, lat = drive(
+                wall, lat, errs = drive(
                     lambda im: client_detect("127.0.0.1", srv.port, im,
                                              timeout=600),
                     images, args.clients, args.requests)
-                results["http"] = {
-                    "req_per_s": round(args.requests / wall, 1),
-                    "p50_ms": round(float(np.median(lat)) * 1e3, 1),
-                    "p99_ms": round(float(np.percentile(lat, 99)) * 1e3, 1),
-                }
+                results["http"] = _leg_stats(lat, wall, errs)
 
     out = {
         "size": size,

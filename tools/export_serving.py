@@ -78,7 +78,18 @@ def parse_args(argv=None):
     p.add_argument("--batch_size", type=int, default=0,
                    help="serving: fixed batch; 0 = symbolic (any batch)")
     p.add_argument("--platforms", default="tpu,cpu",
-                   help="serving: comma-separated export platforms")
+                   help="serving: comma-separated export platforms; "
+                        "'tpu' ALONE bakes the Pallas NMS into a "
+                        "--fused_nms artifact (fastest TPU serving)")
+    p.add_argument("--fused_nms", action="store_true",
+                   help="serving: bake decode + per-class NMS + compaction "
+                        "into the artifact — output dets[b, C-1, K, 5] "
+                        "instead of raw (boxes, scores); ~100x smaller "
+                        "responses")
+    p.add_argument("--nms_top_k", type=int, default=200,
+                   help="with --fused_nms: per-class survivors kept")
+    p.add_argument("--nms_threshold", type=float, default=0.45)
+    p.add_argument("--confidence_threshold", type=float, default=0.01)
     return p.parse_args(argv)
 
 
@@ -123,10 +134,16 @@ def main(argv=None):
         return
 
     from refinedet_tpu.serve import save_serving
+    fused = None
+    if args.fused_nms:
+        fused = {"nms_thresh": args.nms_threshold,
+                 "conf_thresh": args.confidence_threshold,
+                 "nms_top_k": args.nms_top_k}
     meta = save_serving(
         model, variables, args.out,
         batch_size=args.batch_size or None,
-        platforms=tuple(s.strip() for s in args.platforms.split(",") if s))
+        platforms=tuple(s.strip() for s in args.platforms.split(",") if s),
+        fused_nms=fused)
     size = os.path.getsize(args.out)
     print(f"wrote serving artifact: {args.out} ({size / 1e6:.1f} MB)")
     for k in ("input_size", "num_classes", "batch_size", "platforms"):
