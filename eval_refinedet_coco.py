@@ -69,6 +69,11 @@ def parse_args():
                    help="with --int8: fold the expected weight-rounding "
                         "output error into each quantized conv's bias "
                         "(DFQ-style, from the calibration input means)")
+    p.add_argument("--weight_opt", default="none", choices=["none", "gptq"],
+                   help="with --int8: weight rounding — round-to-nearest "
+                        "(none) or the second-order GPTQ solver "
+                        "(refinedet_tpu/quant/gptq.py, needs the "
+                        "calibration stream twice)")
     p.add_argument("--use_ema", action="store_true",
                    help="serve the EMA weights (TrainState.ema_params "
                         "from an --ema_decay run) instead of raw params")
@@ -215,15 +220,22 @@ def main():
             calib = calib_batches_from_dataset(
                 dataset, BaseTransform(size, C.MEANS),
                 args.calib_images, args.batch_size)
+            if args.weight_opt == "gptq":
+                # the Hessian pass re-consumes the stream
+                calib = list(calib)
             means = None
             if args.bias_correct:
                 amax, means = calibrate_amax(model, variables, calib,
                                              return_means=True)
             else:
                 amax = calibrate_amax(model, variables, calib)
+            hessians = None
+            if args.weight_opt == "gptq":
+                from refinedet_tpu.quant.gptq import accumulate_hessians
+                hessians = accumulate_hessians(model, variables, calib)
             return quantize_variables(eval_model, variables, amax,
                                       act_stat=args.calib_act_stat,
-                                      means=means)
+                                      means=means, hessians=hessians)
 
     evaluator = Evaluator(eval_model, dataset, cfg,
                           BaseTransform(size, C.MEANS),

@@ -63,6 +63,11 @@ def parse_args():
                    help="with --int8: fold the expected weight-rounding "
                         "output error into each quantized conv's bias "
                         "(DFQ-style, from the calibration input means)")
+    p.add_argument("--weight_opt", default="none", choices=["none", "gptq"],
+                   help="with --int8: weight rounding — round-to-nearest "
+                        "(none) or the second-order GPTQ solver "
+                        "(refinedet_tpu/quant/gptq.py, needs the "
+                        "calibration stream twice)")
     return p.parse_args()
 
 
@@ -96,7 +101,7 @@ def main():
                 dataset, BaseTransform(size, C.VOC_MEANS),
                 args.calib_images, args.batch_size),
             dtype=dtype, act_stat=args.calib_act_stat, quant_skip=skip,
-            bias_correct=args.bias_correct)
+            bias_correct=args.bias_correct, weight_opt=args.weight_opt)
     # The reference VOC path ran the torch NMS (no +1 area convention,
     # box_utils.py:241), unlike the COCO path's C/CUDA NMS.
     evaluator = Evaluator(eval_model, dataset, cfg,

@@ -6,8 +6,10 @@ train-set AP served as
   bf16            — baseline
   int8-default    — DEFAULT_QUANT_SKIP (early-VGG convs kept bf16)
   int8-full       — everything quantizable quantized
-  *-bc            — same, plus DFQ-style bias correction
+  *-bc            — plus DFQ-style bias correction
                     (quant.bias_correction_delta from the calib means)
+  *-gptq          — plus second-order GPTQ weight rounding
+                    (quant/gptq.py, Hessians from the same calib stream)
   noise-control   — bf16 + weight noise matched to the int8 quant step
                     (bounds the fixture's own perturbation sensitivity)
 and report mean +- std AP deltas vs bf16 per config. Run for both sizes:
@@ -15,11 +17,17 @@ and report mean +- std AP deltas vs bf16 per config. Run for both sizes:
   python tools/ablate_int8.py --size 320 --seeds 5 --steps 2500
   python tools/ablate_int8.py --size 512 --seeds 5 --steps 2000
 
+Trained per-seed params are cached under tools/.ablate_ckpt/ (training is
+deterministic per seed), so adding a serving arm later re-quantizes and
+re-evaluates without retraining; --configs picks a subset of arms.
+
 Results land in README's int8 ablation table.
 """
 
 import argparse
+import os
 import os.path as _osp
+import pickle
 import sys
 import tempfile
 import time
@@ -30,8 +38,24 @@ sys.path.insert(0, _osp.join(_repo, "tests"))
 
 import numpy as np
 
+_CKPT_DIR = _osp.join(_repo, "tools", ".ablate_ckpt")
 
-def run_seed(seed, size, steps, batch):
+# tag -> (quant_skip or None for default, bias_correct, gptq)
+INT8_CONFIGS = {
+    "int8-default": (None, False, False),
+    "int8-default-bc": (None, True, False),
+    "int8-default-gptq": (None, False, True),
+    "int8-default-gptq-bc": (None, True, True),
+    "int8-full": ((), False, False),
+    "int8-full-bc": ((), True, False),
+    "int8-full-gptq": ((), False, True),
+    "int8-full-gptq-bc": ((), True, True),
+}
+ALL_CONFIGS = ("bf16", "noise-ctl-default", "noise-ctl-full",
+               *INT8_CONFIGS)
+
+
+def run_seed(seed, size, steps, batch, configs):
     import jax
     import jax.numpy as jnp
     import optax
@@ -41,7 +65,6 @@ def run_seed(seed, size, steps, batch):
     from refinedet_tpu.data import COCODetection, BaseTransform
     from refinedet_tpu.data.collate import detection_collate
     from refinedet_tpu.models import build_refinedet
-    from refinedet_tpu.quant import quantize_model
     from refinedet_tpu.train import (create_train_state, make_optimizer,
                                      make_train_step)
     from refinedet_tpu.eval import Evaluator
@@ -63,22 +86,32 @@ def run_seed(seed, size, steps, batch):
     batches = [tuple(jnp.asarray(x) for x in (b.images, b.boxes, b.labels,
                                               b.valid)) for b in batches]
 
-    model = build_refinedet("train", size, 2, dtype=jnp.bfloat16)
-    cfg = TrainConfig(batch_size=batch, max_boxes=8, lr=5e-4,
-                      grad_clip_norm=5.0)
-    sched = optax.join_schedules(
-        [optax.linear_schedule(1e-5, cfg.lr, 100),
-         optax.constant_schedule(cfg.lr * 0.1)], [int(steps * 0.75)])
-    tx = make_optimizer(sched, grad_clip_norm=cfg.grad_clip_norm)
-    state = create_train_state(model, jax.random.PRNGKey(seed), tx)
-    step = make_train_step(model, tx, cfg)
-    t0 = time.time()
-    for it in range(steps):
-        state, m = step(state, *batches[it % len(batches)])
-    print(f"seed {seed}: {steps} steps in {time.time() - t0:.0f}s, "
-          f"loss {float(m['loss']):.3f}", flush=True)
-
-    variables = {"params": jax.device_get(state.params)}
+    ckpt = _osp.join(_CKPT_DIR,
+                     f"refinedet{size}_s{seed}_st{steps}_b{batch}.pkl")
+    if _osp.exists(ckpt):
+        with open(ckpt, "rb") as f:
+            variables = {"params": pickle.load(f)}
+        print(f"seed {seed}: restored trained params from {ckpt}",
+              flush=True)
+    else:
+        model = build_refinedet("train", size, 2, dtype=jnp.bfloat16)
+        cfg = TrainConfig(batch_size=batch, max_boxes=8, lr=5e-4,
+                          grad_clip_norm=5.0)
+        sched = optax.join_schedules(
+            [optax.linear_schedule(1e-5, cfg.lr, 100),
+             optax.constant_schedule(cfg.lr * 0.1)], [int(steps * 0.75)])
+        tx = make_optimizer(sched, grad_clip_norm=cfg.grad_clip_norm)
+        state = create_train_state(model, jax.random.PRNGKey(seed), tx)
+        step = make_train_step(model, tx, cfg)
+        t0 = time.time()
+        for it in range(steps):
+            state, m = step(state, *batches[it % len(batches)])
+        print(f"seed {seed}: {steps} steps in {time.time() - t0:.0f}s, "
+              f"loss {float(m['loss']):.3f}", flush=True)
+        variables = {"params": jax.device_get(state.params)}
+        os.makedirs(_CKPT_DIR, exist_ok=True)
+        with open(ckpt, "wb") as f:
+            pickle.dump(variables["params"], f)
     dcfg = DetectConfig(num_classes=2)
     test_model = build_refinedet("test", size, 2, dtype=jnp.bfloat16)
 
@@ -96,7 +129,8 @@ def run_seed(seed, size, steps, batch):
     # DEFAULT_QUANT_SKIP's early-VGG convs in bf16, so its control must
     # skip them too, or the noise floor is inflated and flatters the
     # int8-default delta).
-    from refinedet_tpu.quant import DEFAULT_QUANT_SKIP
+    from refinedet_tpu.quant import (DEFAULT_QUANT_SKIP, calibrate_amax,
+                                     quantize_variables)
 
     def noise_params(extra_skip):
         rng = np.random.RandomState(seed)
@@ -113,20 +147,34 @@ def run_seed(seed, size, steps, batch):
                 w + rng.uniform(-0.5, 0.5, w.shape).astype(np.float32) * s)
         return {"params": pn}
 
-    out["noise-ctl-default"] = ap_of(test_model,
-                                     noise_params(DEFAULT_QUANT_SKIP))
-    out["noise-ctl-full"] = ap_of(test_model, noise_params(()))
+    if "noise-ctl-default" in configs:
+        out["noise-ctl-default"] = ap_of(test_model,
+                                         noise_params(DEFAULT_QUANT_SKIP))
+    if "noise-ctl-full" in configs:
+        out["noise-ctl-full"] = ap_of(test_model, noise_params(()))
 
-    calib = np.stack([bt(ds.pull_image(i)[0]) for i in range(16)])
-    for tag, skip, bc in (("int8-default", None, False),
-                          ("int8-default-bc", None, True),
-                          ("int8-full", (), False),
-                          ("int8-full-bc", (), True)):
-        kw = {} if skip is None else {"quant_skip": skip}
-        mq, vq = quantize_model(test_model, variables,
-                                [calib.astype(np.float32)],
-                                bias_correct=bc, **kw)
-        out[tag] = ap_of(mq, vq)
+    int8_arms = [(t, *INT8_CONFIGS[t]) for t in INT8_CONFIGS
+                 if t in configs]
+    if int8_arms:
+        # One shared calibration pass feeds every arm: amax stats + input
+        # means (bias correction) + im2col Hessians (GPTQ), all from the
+        # same 16-image stream quantize_model would use.
+        calib = [np.stack([bt(ds.pull_image(i)[0])
+                           for i in range(16)]).astype(np.float32)]
+        amax, means = calibrate_amax(test_model, variables, calib,
+                                     return_means=True)
+        hessians = None
+        if any(gptq for _, _, _, gptq in int8_arms):
+            from refinedet_tpu.quant.gptq import accumulate_hessians
+            hessians = accumulate_hessians(test_model, variables, calib)
+        for tag, skip, bc, gptq in int8_arms:
+            mq = build_refinedet(
+                "test", size, 2, dtype=jnp.bfloat16, quant=True,
+                **({} if skip is None else {"quant_skip": skip}))
+            vq = quantize_variables(mq, variables, amax,
+                                    means=means if bc else None,
+                                    hessians=hessians if gptq else None)
+            out[tag] = ap_of(mq, vq)
     print(f"seed {seed}: " + "  ".join(
         f"{k}={v['ap']:.4f}/{v['ap50']:.4f}" for k, v in out.items()),
         flush=True)
@@ -139,9 +187,21 @@ def main():
     p.add_argument("--seeds", default=5, type=int)
     p.add_argument("--steps", default=2500, type=int)
     p.add_argument("--batch", default=16, type=int)
+    p.add_argument("--configs", default="all",
+                   help="comma-separated subset of serving arms "
+                        f"({','.join(ALL_CONFIGS)}); bf16 always runs "
+                        "(it is the delta base)")
     args = p.parse_args()
+    if args.configs == "all":
+        configs = set(ALL_CONFIGS)
+    else:
+        configs = {c for c in args.configs.split(",") if c}
+        unknown = configs - set(ALL_CONFIGS)
+        if unknown:
+            p.error(f"unknown configs: {sorted(unknown)}")
+        configs.add("bf16")
 
-    rows = [run_seed(s, args.size, args.steps, args.batch)
+    rows = [run_seed(s, args.size, args.steps, args.batch, configs)
             for s in range(args.seeds)]
     keys = list(rows[0])
     print(f"\n== int8 ablation, RefineDet{args.size}, {args.seeds} seeds, "
