@@ -418,3 +418,30 @@ def test_quantize_model_gptq_end_to_end(rng):
 
     with pytest.raises(ValueError, match="weight_opt"):
         quantize_model(model, variables, [images], weight_opt="adaround")
+
+
+def test_ablation_arm_skip_resolution():
+    """Regression: the ablation harness's "default" arms must resolve to
+    DEFAULT_QUANT_SKIP, not the builder's () default — the bug made
+    int8-default-* arms silent duplicates of int8-full-*."""
+    import os.path as osp
+    import sys
+    sys.path.insert(0, osp.join(osp.dirname(__file__), "..", "tools"))
+    from ablate_int8 import INT8_CONFIGS, resolve_quant_skip
+    from refinedet_tpu.quant import DEFAULT_QUANT_SKIP
+
+    assert resolve_quant_skip(None) == DEFAULT_QUANT_SKIP
+    assert resolve_quant_skip(()) == ()
+    default_skip = resolve_quant_skip(INT8_CONFIGS["int8-default"][0])
+    full_skip = resolve_quant_skip(INT8_CONFIGS["int8-full"][0])
+    assert default_skip != full_skip
+    # the resolved skips produce different quantized templates
+    m_def = build_refinedet("test", 320, 2, quant=True,
+                            quant_skip=default_skip)
+    m_full = build_refinedet("test", 320, 2, quant=True,
+                             quant_skip=full_skip)
+    t_def = jax.eval_shape(lambda: m_def.init(jax.random.PRNGKey(0)))
+    t_full = jax.eval_shape(lambda: m_full.init(jax.random.PRNGKey(0)))
+    for name in DEFAULT_QUANT_SKIP:
+        assert "kernel_q" not in t_def["params"][name]
+        assert "kernel_q" in t_full["params"][name]

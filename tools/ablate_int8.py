@@ -40,6 +40,18 @@ import numpy as np
 
 _CKPT_DIR = _osp.join(_repo, "tools", ".ablate_ckpt")
 
+def resolve_quant_skip(skip):
+    """Map an INT8_CONFIGS skip entry to the builder kwarg.
+
+    build_refinedet's quant_skip default is () (quantize everything) —
+    the DEFAULT_QUANT_SKIP convention lives in quantize_model — so None
+    ("the default config") must resolve to DEFAULT_QUANT_SKIP explicitly
+    here, or the default arms silently duplicate the full arms.
+    """
+    from refinedet_tpu.quant import DEFAULT_QUANT_SKIP
+    return DEFAULT_QUANT_SKIP if skip is None else skip
+
+
 # tag -> (quant_skip or None for default, bias_correct, gptq)
 INT8_CONFIGS = {
     "int8-default": (None, False, False),
@@ -170,7 +182,7 @@ def run_seed(seed, size, steps, batch, configs):
         for tag, skip, bc, gptq in int8_arms:
             mq = build_refinedet(
                 "test", size, 2, dtype=jnp.bfloat16, quant=True,
-                **({} if skip is None else {"quant_skip": skip}))
+                quant_skip=resolve_quant_skip(skip))
             vq = quantize_variables(mq, variables, amax,
                                     means=means if bc else None,
                                     hessians=hessians if gptq else None)
