@@ -46,6 +46,11 @@ def parse_args():
     p.add_argument("--artifact", default=None,
                    help="pre-exported .rdtpu; default exports random "
                         "weights (throughput does not depend on values)")
+    p.add_argument("--fused_nms", action="store_true",
+                   help="with the default export: bake the fused "
+                        "post-processing (decode + per-class NMS) into "
+                        "the artifact, current-platform only — hosts "
+                        "receive dets[C-1,K,5] instead of raw heads")
     p.add_argument("--skip_http", action="store_true")
     return p.parse_args()
 
@@ -114,7 +119,13 @@ def main():
         variables = model.init(jax.random.PRNGKey(0))
         artifact = os.path.join(tempfile.mkdtemp(prefix="bench_serve_"),
                                 f"refinedet{args.size}.rdtpu")
-        save_serving(model, variables, artifact)
+        if args.fused_nms:
+            # current platform only: cross-platform fused exports would
+            # bake the portable XLA NMS instead of the Pallas kernel
+            save_serving(model, variables, artifact,
+                         platforms=(jax.default_backend(),), fused_nms={})
+        else:
+            save_serving(model, variables, artifact)
     serving = load_serving(artifact)
     size = serving.meta["input_size"]
 
@@ -153,6 +164,7 @@ def main():
 
     out = {
         "size": size,
+        "fused_nms": serving.meta.get("fused_nms") is not None,
         "clients": args.clients,
         "requests": args.requests,
         "max_batch": args.max_batch,
