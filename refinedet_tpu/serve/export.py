@@ -20,6 +20,7 @@ tests/test_serving_export.py.
 
 from __future__ import annotations
 
+import functools
 import json
 import struct
 from typing import Any, Dict, Mapping, Optional, Sequence
@@ -112,10 +113,22 @@ def export_inference(model, variables: Mapping,
                 arm_loc, arm_p, odm_loc, odm_p, model.priors,
                 variances=variance, objectness_thresh=obj_thresh)
             cls_scores = jnp.moveaxis(scores[..., 1:], -1, 1)
-            bx, sc = class_parallel_nms(
-                boxes[:, None], cls_scores, nms_thresh,
+            nms = functools.partial(
+                class_parallel_nms, iou_thresh=nms_thresh,
                 top_k=nms_top_k, score_thresh=conf_thresh,
                 plus_one=plus_one, backend=nms_backend)
+            if nms_backend == "tpu" and not isinstance(boxes.shape[0],
+                                                       int):
+                # Symbolic-batch artifact: the Pallas sweep's grid and
+                # SMEM count block scale with batch*classes, and Pallas
+                # rejects dynamically-shaped blocks. Scan over the batch
+                # so every kernel call sees the static [C-1] group grid
+                # (NMS is a sub-1% slice of inference; the lost
+                # cross-image grid pipelining is noise).
+                bx, sc = jax.lax.map(
+                    lambda t: nms(t[0][None], t[1]), (boxes, cls_scores))
+            else:
+                bx, sc = nms(boxes[:, None], cls_scores)
             return jnp.concatenate([bx, sc[..., None]], axis=-1)
 
     if batch_size is None:

@@ -274,3 +274,19 @@ def test_fused_nms_tpu_only_export_embeds_pallas(tmp_path, model_and_vars):
     save_serving(model, variables, path2, platforms=("tpu", "cpu"),
                  batch_size=2, fused_nms={"nms_top_k": 16})
     assert "tpu_custom_call" not in load_serving(path2).exported.mlir_module()
+
+
+def test_fused_nms_tpu_only_symbolic_batch(tmp_path, model_and_vars):
+    """Symbolic-batch (batch_size=None) + tpu-only fused NMS: the Pallas
+    sweep's grid/SMEM block scale with batch*classes and Pallas rejects
+    dynamically-shaped blocks, so the export scans over the batch dim
+    (export.py lax.map branch). Regression: this combination — the one
+    the serving engine's default export actually uses on a TPU host —
+    failed to lower before the scan fallback existed."""
+    model, variables = model_and_vars
+    path = str(tmp_path / "tpu_sym.rdtpu")
+    meta = save_serving(model, variables, path, platforms=("tpu",),
+                        batch_size=None, fused_nms={"nms_top_k": 16})
+    assert meta["batch_size"] is None
+    hlo = load_serving(path).exported.mlir_module()
+    assert "tpu_custom_call" in hlo  # still the Pallas kernel inside
