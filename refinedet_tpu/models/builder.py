@@ -80,7 +80,14 @@ class RefineDetModel:
     # -- parameter init -----------------------------------------------------
     def init(self, rng: jax.Array, batch_size: int = 1):
         dummy = jnp.zeros((batch_size, self.size, self.size, 3), jnp.float32)
-        return self.module.init(rng, dummy, train=False)
+        variables = self.module.init(rng, dummy, train=False)
+        # flax init makes every collection mutable, so the PTQ calibration
+        # sows (refinedet.py:conv_with_calibration) deposit ~21M zeros of
+        # 'calib'/'calib_x' placeholders. They are pure apply-time scratch —
+        # calibrate_amax / gptq re-create them via mutable=['calib'...] —
+        # so drop them from the canonical variables tree.
+        return {k: v for k, v in variables.items()
+                if k not in ("calib", "calib_x")}
 
     # -- forward ------------------------------------------------------------
     def raw_forward(self, variables, images, train: bool = False,
