@@ -146,6 +146,16 @@ class RefineDet(nn.Module):
                 self.sow("calib_x", f"{name}_input", x.astype(jnp.float32),
                          init_fn=lambda: jnp.zeros((), jnp.float32),
                          reduce_fn=lambda prev, new: new)
+                # The conv's TRUE geometry, so the Hessian pass never has
+                # to infer stride/pad/dilation from the layer name
+                # (quant/gptq.py cross-checks its name-based table against
+                # this and fails loudly on a mismatch instead of silently
+                # building a wrong im2col Hessian).
+                self.sow("calib_x", f"{name}_geom",
+                         jnp.asarray([kernel, strides, padding, dilation],
+                                     jnp.int32),
+                         init_fn=lambda: jnp.zeros((4,), jnp.int32),
+                         reduce_fn=lambda prev, new: new)
             return conv(x)
 
         return conv_with_calibration

@@ -98,6 +98,21 @@ def accumulate_hessians(model, variables, batches: Iterable,
                     continue
                 geom = conv_geometry(
                     name, _kernel_shape_for(variables, name))
+                # Cross-check the name-inferred geometry against the one
+                # the model sowed next to the capture (ADVICE r4: a future
+                # quantizable conv with non-default stride/pad/dilation
+                # must fail loudly here, not silently degrade GPTQ with a
+                # mismatched Hessian).
+                sown = captured.get(f"{name}_geom")
+                if sown is not None:
+                    k, s, p, d = (int(v) for v in np.asarray(
+                        jax.device_get(sown)).reshape(-1))
+                    if (k, k, s, p, d) != geom:
+                        raise ValueError(
+                            f"conv {name!r}: model geometry "
+                            f"(kernel={k}, stride={s}, pad={p}, dil={d}) "
+                            f"disagrees with quant.gptq.conv_geometry's "
+                            f"table {geom}; update conv_geometry")
                 h, cnt = _hessian_of(x, *geom)
                 h = np.asarray(jax.device_get(h), np.float64)
                 hs[name] = hs.get(name, 0.0) + h

@@ -110,9 +110,14 @@ class BatchingEngine:
 
     def stop(self) -> None:
         if self._started and not self._stopping:
+            # Flip _stopping under the lock (submit() checks it there), but
+            # put the sentinel OUTSIDE it: on a full queue the put blocks
+            # for up to one inference, and holding the lock through that
+            # would stall every concurrent submit() on lock acquisition
+            # instead of letting them hit the fast "not running" path.
             with self._submit_lock:
                 self._stopping = True
-                self._queue.put(_SHUTDOWN)
+            self._queue.put(_SHUTDOWN)
             self._thread.join(timeout=30)
             self._started = False
             # Belt-and-braces: fail any stragglers rather than leaving

@@ -381,6 +381,32 @@ def test_accumulate_hessians_and_geometry(rng):
                                rtol=1e-4, atol=1e-3)
 
 
+def test_accumulate_hessians_rejects_geometry_mismatch(rng, monkeypatch):
+    """The model sows each quantizable conv's true geometry next to the
+    calib_x capture; if the name-based table in quant.gptq.conv_geometry
+    ever disagrees (e.g. a future conv with non-default stride), the
+    Hessian pass must fail loudly instead of silently building a
+    mismatched im2col Hessian (ADVICE r4)."""
+    import refinedet_tpu.quant.gptq as gptq_mod
+
+    model = build_refinedet("test", 320, 2)
+    variables = model.init(jax.random.PRNGKey(0))
+    imgs = rng.uniform(-120, 130, (1, 320, 320, 3)).astype(np.float32)
+
+    real = gptq_mod.conv_geometry
+
+    def wrong(name, kshape):
+        kh, kw, stride, pad, dil = real(name, kshape)
+        if name == "vgg_conv7":
+            stride += 1  # simulate a stale table entry
+        return kh, kw, stride, pad, dil
+
+    monkeypatch.setattr(gptq_mod, "conv_geometry", wrong)
+    with pytest.raises(ValueError, match="vgg_conv7.*disagrees"):
+        gptq_mod.accumulate_hessians(model, variables, [imgs],
+                                     names=("vgg_conv7",))
+
+
 def test_quantize_model_gptq_end_to_end(rng):
     """weight_opt='gptq' composes with the full PTQ path (+ bias
     correction) and does not hurt the head-output error vs plain

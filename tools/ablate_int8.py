@@ -25,6 +25,7 @@ Results land in README's int8 ablation table.
 """
 
 import argparse
+import json
 import os
 import os.path as _osp
 import pickle
@@ -67,7 +68,11 @@ ALL_CONFIGS = ("bf16", "noise-ctl-default", "noise-ctl-full",
                *INT8_CONFIGS)
 
 
-def run_seed(seed, size, steps, batch, configs):
+def run_seed(seed, size, steps, batch, configs, have=()):
+    """Train-or-restore seed `seed` and evaluate the serving arms in
+    `configs`, skipping any arm already in `have` (the resume sidecar's
+    cached results for this seed) — chip evals are minutes each, so a
+    resumed run must not repeat them."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -103,8 +108,13 @@ def run_seed(seed, size, steps, batch, configs):
     if _osp.exists(ckpt):
         with open(ckpt, "rb") as f:
             variables = {"params": pickle.load(f)}
-        print(f"seed {seed}: restored trained params from {ckpt}",
-              flush=True)
+        # Loud provenance: the cache is keyed on size/seed/steps/batch only,
+        # NOT on model/train code version — if models/ or train/ changed
+        # since this mtime, delete tools/.ablate_ckpt/ to retrain.
+        mtime = time.strftime("%Y-%m-%d %H:%M",
+                              time.localtime(_osp.getmtime(ckpt)))
+        print(f"seed {seed}: restored trained params from {ckpt} "
+              f"(trained {mtime}; cache is NOT code-versioned)", flush=True)
     else:
         model = build_refinedet("train", size, 2, dtype=jnp.bfloat16)
         cfg = TrainConfig(batch_size=batch, max_boxes=8, lr=5e-4,
@@ -133,7 +143,10 @@ def run_seed(seed, size, steps, batch, configs):
         stats = ds.evaluate_detections(ev.run(v), None)
         return {"ap": float(stats[0]), "ap50": float(stats[1])}
 
-    out = {"bf16": ap_of(test_model, variables)}
+    configs = configs - set(have)
+    out = {}
+    if "bf16" in configs:
+        out["bf16"] = ap_of(test_model, variables)
 
     # Noise controls: perturbation matched to the int8 weight-quant step,
     # one per quant config — each perturbs EXACTLY the layer set that the
@@ -213,9 +226,32 @@ def main():
             p.error(f"unknown configs: {sorted(unknown)}")
         configs.add("bf16")
 
-    rows = [run_seed(s, args.size, args.steps, args.batch, configs)
-            for s in range(args.seeds)]
-    keys = list(rows[0])
+    # Per-seed results persist to a JSON sidecar so a killed run (round-4's
+    # failure mode: chip reclaimed mid-ablation) resumes from the last
+    # completed seed instead of re-evaluating everything.
+    res_path = _osp.join(
+        _CKPT_DIR,
+        f"results_{args.size}_st{args.steps}_b{args.batch}.json")
+    done = {}
+    if _osp.exists(res_path):
+        with open(res_path) as f:
+            done = json.load(f)
+
+    rows = []
+    for s in range(args.seeds):
+        cached = done.get(str(s))
+        if cached is not None and configs <= set(cached):
+            print(f"seed {s}: restored results from {res_path}", flush=True)
+            rows.append(cached)
+            continue
+        out = run_seed(s, args.size, args.steps, args.batch, configs,
+                       have=set(cached or {}))
+        done[str(s)] = {**(cached or {}), **out}
+        os.makedirs(_CKPT_DIR, exist_ok=True)
+        with open(res_path, "w") as f:
+            json.dump(done, f, indent=1)
+        rows.append(done[str(s)])
+    keys = [k for k in rows[0] if k in configs]
     print(f"\n== int8 ablation, RefineDet{args.size}, {args.seeds} seeds, "
           f"{args.steps} steps ==")
     for metric in ("ap", "ap50"):

@@ -86,10 +86,19 @@ def parse_args(argv=None):
                         "into the artifact — output dets[b, C-1, K, 5] "
                         "instead of raw (boxes, scores); ~100x smaller "
                         "responses")
-    p.add_argument("--nms_top_k", type=int, default=200,
-                   help="with --fused_nms: per-class survivors kept")
-    p.add_argument("--nms_threshold", type=float, default=0.45)
-    p.add_argument("--confidence_threshold", type=float, default=0.01)
+    # Fused-NMS knobs default to None = "inherit the library defaults"
+    # (DetectConfig.nms_thresh=0.49 etc. — the COCO-eval post-processing
+    # export.py promises); a flagless export must reproduce the Evaluator,
+    # so only user-set values are forwarded. Pass e.g. --nms_threshold
+    # 0.45 explicitly for the VOC-eval convention.
+    p.add_argument("--nms_top_k", type=int, default=None,
+                   help="with --fused_nms: per-class survivors kept "
+                        "(default: library default, 200)")
+    p.add_argument("--nms_threshold", type=float, default=None,
+                   help="default: DetectConfig.nms_thresh (0.49, COCO "
+                        "eval); the VOC eval path uses 0.45")
+    p.add_argument("--confidence_threshold", type=float, default=None,
+                   help="default: DetectConfig.conf_thresh")
     return p.parse_args(argv)
 
 
@@ -136,9 +145,10 @@ def main(argv=None):
     from refinedet_tpu.serve import save_serving
     fused = None
     if args.fused_nms:
-        fused = {"nms_thresh": args.nms_threshold,
-                 "conf_thresh": args.confidence_threshold,
-                 "nms_top_k": args.nms_top_k}
+        fused = {k: v for k, v in (
+            ("nms_thresh", args.nms_threshold),
+            ("conf_thresh", args.confidence_threshold),
+            ("nms_top_k", args.nms_top_k)) if v is not None}
     meta = save_serving(
         model, variables, args.out,
         batch_size=args.batch_size or None,
