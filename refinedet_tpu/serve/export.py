@@ -37,6 +37,8 @@ def export_inference(model, variables: Mapping,
                      batch_size: Optional[int] = None,
                      platforms: Sequence[str] = _DEFAULT_PLATFORMS,
                      fused_nms: Optional[Mapping] = None,
+                     uint8_input: bool = False,
+                     input_mean: Optional[Sequence[float]] = None,
                      ) -> jax.export.Exported:
     """Export ``model.apply(variables, images)`` with the weights baked in.
 
@@ -44,6 +46,20 @@ def export_inference(model, variables: Mapping,
     exports a symbolic batch dimension — one artifact serves any batch.
     ``platforms`` lists the backends the artifact may run on; lowering is
     cross-platform (the artifact for TPU can be produced on a CPU host).
+
+    ``uint8_input`` moves the mean-subtract INTO the artifact: the wire
+    carries raw uint8 RGB pixels (4x less host->device upload than the
+    default mean-subtracted f32 — the measured bottleneck of the serving
+    engine leg, ~39 MB per 32-batch at 320 through this box's tunnel) and
+    the artifact's first op is an on-device ``f32(x) - mean``. Exact for
+    integer pixels: uint8 values and the means are exactly representable
+    in f32, so the subtraction matches the host-side BaseTransform
+    bit-for-bit (the same staging trick as data/augment_jax.py's
+    StagingTransform). ``input_mean`` is the per-channel mean in the
+    reference's BGR config convention (config MEANS /
+    ``/root/reference/data/config.py:13``, default (104, 117, 123));
+    since the wire is RGB it is reversed before subtraction, matching
+    BaseTransform's subtract-in-BGR-then-flip order.
 
     ``fused_nms`` bakes the Evaluator's full post-processing into the
     artifact (decode + per-class NMS + compaction,
@@ -65,6 +81,9 @@ def export_inference(model, variables: Mapping,
     """
     if model.phase != "test":
         raise ValueError("serving export requires a 'test'-phase model")
+    if input_mean is not None and not uint8_input:
+        raise ValueError("input_mean only applies with uint8_input=True "
+                         "(the f32 wire is already mean-subtracted)")
     frozen = jax.tree.map(jnp.asarray, dict(variables))
 
     if fused_nms is None:
@@ -131,15 +150,29 @@ def export_inference(model, variables: Mapping,
                 bx, sc = nms(boxes[:, None], cls_scores)
             return jnp.concatenate([bx, sc[..., None]], axis=-1)
 
+    if uint8_input:
+        mean_bgr = tuple(float(m) for m in
+                         (input_mean if input_mean is not None
+                          else (104.0, 117.0, 123.0)))
+        if len(mean_bgr) != 3:
+            raise ValueError(f"input_mean needs 3 channels, got {mean_bgr}")
+        mean_rgb = jnp.asarray(mean_bgr[::-1], jnp.float32)
+        infer = fn
+
+        def fn(raw):
+            return infer(raw.astype(jnp.float32) - mean_rgb)
+
     if batch_size is None:
         (b,) = jax.export.symbolic_shape("b")
     else:
         b = int(batch_size)
-    spec = jax.ShapeDtypeStruct((b, model.size, model.size, 3), jnp.float32)
+    spec = jax.ShapeDtypeStruct((b, model.size, model.size, 3),
+                                jnp.uint8 if uint8_input else jnp.float32)
     return jax.export.export(jax.jit(fn), platforms=list(platforms))(spec)
 
 
-def _metadata(model, batch_size, exported, fused_nms=None) -> Dict[str, Any]:
+def _metadata(model, batch_size, exported, fused_nms=None,
+              uint8_input=False, input_mean=None) -> Dict[str, Any]:
     if fused_nms is None:
         output = ("(boxes[b,N,4], scores[b,N,C]) raw Detect_RefineDet "
                   "path unless a fused-NMS detector was attached")
@@ -147,6 +180,14 @@ def _metadata(model, batch_size, exported, fused_nms=None) -> Dict[str, Any]:
         output = ("dets[b, C-1, K, 5] (x1, y1, x2, y2, score), normalized "
                   "0-1 coords, per-class NMS'd, score-descending, "
                   "zero-padded")
+    if uint8_input:
+        mean_bgr = [float(m) for m in (input_mean if input_mean is not None
+                                       else (104.0, 117.0, 123.0))]
+        inp = ("NHWC uint8, raw RGB pixels; the artifact subtracts "
+               f"input_mean_bgr (reversed to RGB) on device")
+    else:
+        mean_bgr = None
+        inp = "NHWC float32, mean-subtracted RGB (BaseTransform)"
     return {
         "format": "refinedet-tpu-serving",
         "input_size": model.size,
@@ -156,7 +197,9 @@ def _metadata(model, batch_size, exported, fused_nms=None) -> Dict[str, Any]:
         "int8": bool(model.quant),
         "platforms": list(exported.platforms),
         "fused_nms": dict(fused_nms) if fused_nms is not None else None,
-        "input": "NHWC float32, mean-subtracted RGB (BaseTransform)",
+        "input_dtype": "uint8" if uint8_input else "float32",
+        "input_mean_bgr": mean_bgr,
+        "input": inp,
         "output": output,
         "jax_version": jax.__version__,
     }
@@ -165,11 +208,16 @@ def _metadata(model, batch_size, exported, fused_nms=None) -> Dict[str, Any]:
 def save_serving(model, variables: Mapping, path: str,
                  batch_size: Optional[int] = None,
                  platforms: Sequence[str] = _DEFAULT_PLATFORMS,
-                 fused_nms: Optional[Mapping] = None) -> dict:
+                 fused_nms: Optional[Mapping] = None,
+                 uint8_input: bool = False,
+                 input_mean: Optional[Sequence[float]] = None) -> dict:
     """Export + write a serving artifact; returns its metadata dict."""
     exported = export_inference(model, variables, batch_size=batch_size,
-                                platforms=platforms, fused_nms=fused_nms)
-    meta = _metadata(model, batch_size, exported, fused_nms=fused_nms)
+                                platforms=platforms, fused_nms=fused_nms,
+                                uint8_input=uint8_input,
+                                input_mean=input_mean)
+    meta = _metadata(model, batch_size, exported, fused_nms=fused_nms,
+                     uint8_input=uint8_input, input_mean=input_mean)
     blob = bytes(exported.serialize())
     header = json.dumps(meta, sort_keys=True).encode("utf-8")
     with open(path, "wb") as f:
@@ -186,10 +234,11 @@ class ServingModel:
     def __init__(self, meta: Dict[str, Any], exported: jax.export.Exported):
         self.meta = meta
         self.exported = exported
+        self.input_dtype = np.dtype(meta.get("input_dtype", "float32"))
         self._call = jax.jit(exported.call)
 
     def __call__(self, images) -> Any:
-        images = jnp.asarray(images, jnp.float32)
+        images = jnp.asarray(images, self.input_dtype)
         want = self.meta["batch_size"]
         if want is not None and images.shape[0] != want:
             raise ValueError(

@@ -66,13 +66,17 @@ class BatchingEngine:
     def __init__(self, infer_fn: Callable, input_shape: Tuple[int, int, int],
                  max_batch: int = 8, max_delay_ms: float = 5.0,
                  buckets: Optional[Sequence[int]] = None,
-                 max_queue: int = 256):
+                 max_queue: int = 256, input_dtype="float32"):
         if max_batch < 1:
             raise ValueError(f"max_batch must be >= 1, got {max_batch}")
         if max_queue < 1:
             raise ValueError(f"max_queue must be >= 1, got {max_queue}")
         self.infer_fn = infer_fn
         self.input_shape = tuple(input_shape)
+        # uint8 for uint8-wire artifacts (in-artifact mean-subtract): the
+        # request path, the pad buffer, and the device upload all stay
+        # integer — 4x less host->device traffic than the f32 default.
+        self.input_dtype = np.dtype(input_dtype)
         self.max_batch = int(max_batch)
         self.max_delay = float(max_delay_ms) / 1e3
         self.buckets = tuple(sorted(buckets)) if buckets else \
@@ -140,9 +144,11 @@ class BatchingEngine:
     # -- request path ------------------------------------------------------
 
     def submit(self, image: np.ndarray) -> Future:
-        """Enqueue ONE image [H,W,C] float32; resolves to a tuple of
-        per-request output arrays (leading batch dim stripped)."""
-        image = np.asarray(image, np.float32)
+        """Enqueue ONE image [H,W,C] of the engine's input_dtype (f32
+        mean-subtracted, or raw uint8 pixels for a uint8-wire artifact);
+        resolves to a tuple of per-request output arrays (leading batch
+        dim stripped)."""
+        image = np.asarray(image, self.input_dtype)
         if image.shape != self.input_shape:
             raise ValueError(f"expected image shape {self.input_shape}, "
                              f"got {image.shape}")
@@ -198,7 +204,7 @@ class BatchingEngine:
     def _run(self, batch) -> None:
         n = len(batch)
         padded = self._bucket(n)
-        images = np.zeros((padded,) + self.input_shape, np.float32)
+        images = np.zeros((padded,) + self.input_shape, self.input_dtype)
         for i, (img, _, _) in enumerate(batch):
             images[i] = img
         try:
@@ -252,7 +258,8 @@ class BatchingEngine:
 
 def _make_handler(engine: BatchingEngine, meta: dict):
     h, w, c = engine.input_shape
-    raw_len = h * w * c * 4
+    dtype = engine.input_dtype  # little-endian f32, or uint8 (raw-pixel wire)
+    raw_len = h * w * c * dtype.itemsize
 
     class ServingHandler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -298,18 +305,20 @@ def _make_handler(engine: BatchingEngine, meta: dict):
                     return self._send_json(
                         413, {"error": f"body {length} bytes exceeds "
                                        f"limit {raw_len + 16384} "
-                                       f"(one f32 {h}x{w}x{c} image)"})
+                                       f"(one {dtype.name} {h}x{w}x{c} "
+                                       f"image)"})
                 body = self.rfile.read(length)
                 if self.headers.get("Content-Type") == \
                         "application/x-npy":
                     img = np.load(io.BytesIO(body), allow_pickle=False)
-                else:  # raw little-endian float32 NHWC bytes
+                else:  # raw little-endian NHWC bytes of the wire dtype
                     if len(body) != raw_len:
                         return self._send_json(
                             400, {"error": f"expected {raw_len} bytes "
-                                           f"(f32 {h}x{w}x{c}), got "
-                                           f"{len(body)}"})
-                    img = np.frombuffer(body, "<f4").reshape(h, w, c)
+                                           f"({dtype.name} {h}x{w}x{c}), "
+                                           f"got {len(body)}"})
+                    img = np.frombuffer(
+                        body, dtype.newbyteorder("<")).reshape(h, w, c)
                 outs = engine.submit(np.ascontiguousarray(img)).result()
             except EngineOverloadedError as e:
                 return self._send_json(503, {"error": str(e)})
@@ -366,12 +375,13 @@ class Server:
 
 
 def client_detect(host: str, port: int, image: np.ndarray,
-                  timeout: float = 60.0):
-    """Minimal stdlib client: send one [H,W,C] f32 image, return the
+                  timeout: float = 60.0, dtype="<f4"):
+    """Minimal stdlib client: send one [H,W,C] image (f32 wire by
+    default; pass dtype="u1" for a uint8-wire artifact), return the
     tuple of output arrays."""
     from urllib.request import Request, urlopen
 
-    body = np.ascontiguousarray(np.asarray(image, "<f4")).tobytes()
+    body = np.ascontiguousarray(np.asarray(image, dtype)).tobytes()
     req = Request(f"http://{host}:{port}/detect", data=body,
                   headers={"Content-Type": "application/octet-stream"})
     with urlopen(req, timeout=timeout) as resp:
@@ -403,11 +413,12 @@ def main(argv=None):
     engine = BatchingEngine(serving, (size, size, 3),
                             max_batch=args.max_batch,
                             max_delay_ms=args.max_delay_ms,
-                            max_queue=args.max_queue)
+                            max_queue=args.max_queue,
+                            input_dtype=serving.input_dtype)
     # Warm every bucket up front: first-compile latency belongs at
     # startup, not on the first unlucky requests.
     for b in engine.buckets:
-        serving(np.zeros((b, size, size, 3), np.float32))
+        serving(np.zeros((b, size, size, 3), serving.input_dtype))
     with Server(engine, serving.meta, args.port, args.host) as srv:
         print(f"serving {args.artifact} on http://{args.host}:{srv.port} "
               f"(buckets {list(engine.buckets)}, "

@@ -337,3 +337,45 @@ def test_http_connect_burst_no_resets():
         for t in threads:
             t.join(timeout=120)
     assert outcomes.count(200) == 64, outcomes
+
+
+def test_uint8_engine_and_wire_roundtrip():
+    """uint8-wire engine: submit/pad/batch in uint8, HTTP raw bodies are
+    1 byte/px (4x less upload than f32), client_detect(dtype="u1")
+    round-trips."""
+    seen_dtypes = []
+
+    def infer(images):
+        seen_dtypes.append(images.dtype)
+        # echo per-image mean like FakeInfer, computed in f32
+        mean = images.astype(np.float32).mean(axis=(1, 2, 3))
+        return (mean,)
+
+    eng = BatchingEngine(infer, SHAPE, max_batch=4, max_delay_ms=1,
+                         input_dtype="uint8")
+    with eng:
+        img = np.full(SHAPE, 9, np.uint8)
+        (mean,) = eng.submit(img).result(timeout=10)
+        assert mean == pytest.approx(9.0)
+        with Server(eng, {"input_dtype": "uint8"}, port=0) as srv:
+            # raw wire: exactly h*w*c bytes (uint8), not 4x that
+            body = img.tobytes()
+            assert len(body) == int(np.prod(SHAPE))
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{srv.port}/detect", data=body)
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                npz = np.load(io.BytesIO(resp.read()), allow_pickle=False)
+            assert npz["out0"] == pytest.approx(9.0)
+            # an f32-length body must be rejected on the uint8 wire
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{srv.port}/detect",
+                data=img.astype("<f4").tobytes())
+            try:
+                urllib.request.urlopen(req, timeout=30)
+                assert False, "expected 400"
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+            # stdlib client with the uint8 wire dtype
+            (mean,) = client_detect("127.0.0.1", srv.port, img, dtype="u1")
+            assert mean == pytest.approx(9.0)
+    assert all(d == np.uint8 for d in seen_dtypes)

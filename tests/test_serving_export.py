@@ -290,3 +290,53 @@ def test_fused_nms_tpu_only_symbolic_batch(tmp_path, model_and_vars):
     assert meta["batch_size"] is None
     hlo = load_serving(path).exported.mlir_module()
     assert "tpu_custom_call" in hlo  # still the Pallas kernel inside
+
+
+def test_uint8_wire_artifact_exact_vs_f32_path(tmp_path, model_and_vars):
+    """uint8-wire artifact (raw pixels on the wire, mean-subtract baked
+    in): bit-identical to feeding the f32 artifact the host-subtracted
+    image. Exact because integer pixels and the means are exactly
+    representable in f32 — the same staging trick as
+    data/augment_jax.py's StagingTransform."""
+    model, variables = model_and_vars
+    mean_bgr = (104.0, 117.0, 123.0)
+    path_u8 = str(tmp_path / "u8.rdtpu")
+    meta = save_serving(model, variables, path_u8, platforms=("cpu",),
+                        uint8_input=True, input_mean=mean_bgr)
+    assert meta["input_dtype"] == "uint8"
+    assert meta["input_mean_bgr"] == list(mean_bgr)
+    path_f32 = str(tmp_path / "f32.rdtpu")
+    save_serving(model, variables, path_f32, platforms=("cpu",))
+
+    rng = np.random.RandomState(7)
+    raw = rng.randint(0, 256, (2, 320, 320, 3)).astype(np.uint8)
+    u8 = load_serving(path_u8)
+    assert u8.input_dtype == np.uint8
+    got_b, got_s = u8(raw)
+    # host-side equivalent: f32 cast, subtract RGB-ordered mean
+    pre = raw.astype(np.float32) - np.asarray(mean_bgr[::-1], np.float32)
+    want_b, want_s = load_serving(path_f32)(pre)
+    np.testing.assert_array_equal(np.asarray(got_b), np.asarray(want_b))
+    np.testing.assert_array_equal(np.asarray(got_s), np.asarray(want_s))
+
+
+def test_uint8_wire_validation(model_and_vars):
+    model, variables = model_and_vars
+    with pytest.raises(ValueError, match="input_mean only applies"):
+        save_serving(model, variables, "/dev/null",
+                     platforms=("cpu",), input_mean=(1.0, 2.0, 3.0))
+    with pytest.raises(ValueError, match="3 channels"):
+        save_serving(model, variables, "/dev/null", platforms=("cpu",),
+                     uint8_input=True, input_mean=(1.0, 2.0))
+
+
+def test_uint8_wire_default_mean_is_reference_means(tmp_path,
+                                                    model_and_vars):
+    """Flagless uint8 export defaults to the reference's VOC MEANS
+    (104, 117, 123) — /root/reference/data/config.py's BaseTransform
+    convention."""
+    model, variables = model_and_vars
+    path = str(tmp_path / "u8d.rdtpu")
+    meta = save_serving(model, variables, path, platforms=("cpu",),
+                        uint8_input=True)
+    assert meta["input_mean_bgr"] == [104.0, 117.0, 123.0]

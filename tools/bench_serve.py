@@ -7,7 +7,8 @@ Two measurements, separated so HTTP overhead is attributable:
   engine  — N worker threads submit images straight into
             BatchingEngine.submit() and block on the Futures.
   http    — the same load through the full HTTP wire format
-            (POST /detect with raw f32 bytes, .npz response).
+            (POST /detect with raw wire-dtype bytes — f32, or uint8
+            with --uint8_wire — .npz response).
 
 Every request's outputs are fetched to the host (the engine returns
 numpy per request), so nothing here can be elided by the dev tunnel's
@@ -51,6 +52,10 @@ def parse_args():
                         "post-processing (decode + per-class NMS) into "
                         "the artifact, current-platform only — hosts "
                         "receive dets[C-1,K,5] instead of raw heads")
+    p.add_argument("--uint8_wire", action="store_true",
+                   help="with the default export: uint8-input artifact "
+                        "(raw pixels on the wire, in-artifact mean-sub) — "
+                        "4x less host->device upload than the f32 wire")
     p.add_argument("--skip_http", action="store_true")
     return p.parse_args()
 
@@ -119,28 +124,36 @@ def main():
         variables = model.init(jax.random.PRNGKey(0))
         artifact = os.path.join(tempfile.mkdtemp(prefix="bench_serve_"),
                                 f"refinedet{args.size}.rdtpu")
+        kw = {"uint8_input": True} if args.uint8_wire else {}
         if args.fused_nms:
             # current platform only: cross-platform fused exports would
             # bake the portable XLA NMS instead of the Pallas kernel
             save_serving(model, variables, artifact,
-                         platforms=(jax.default_backend(),), fused_nms={})
+                         platforms=(jax.default_backend(),), fused_nms={},
+                         **kw)
         else:
-            save_serving(model, variables, artifact)
+            save_serving(model, variables, artifact, **kw)
     serving = load_serving(artifact)
     size = serving.meta["input_size"]
+    wire_dtype = serving.input_dtype
 
     rng = np.random.RandomState(0)
-    images = [rng.uniform(-120, 130, (size, size, 3)).astype(np.float32)
-              for _ in range(8)]
+    if wire_dtype == np.uint8:  # raw-pixel wire
+        images = [rng.randint(0, 256, (size, size, 3)).astype(np.uint8)
+                  for _ in range(8)]
+    else:
+        images = [rng.uniform(-120, 130, (size, size, 3)).astype(np.float32)
+                  for _ in range(8)]
 
     engine = BatchingEngine(serving, (size, size, 3),
                             max_batch=args.max_batch,
-                            max_delay_ms=args.max_delay_ms)
+                            max_delay_ms=args.max_delay_ms,
+                            input_dtype=wire_dtype)
     print(f"warming {len(engine.buckets)} buckets "
           f"{list(engine.buckets)} ...", file=sys.stderr, flush=True)
     for b in engine.buckets:
         t0 = time.monotonic()
-        serving(np.zeros((b, size, size, 3), np.float32))
+        serving(np.zeros((b, size, size, 3), wire_dtype))
         print(f"  bucket {b}: {time.monotonic() - t0:.1f}s",
               file=sys.stderr, flush=True)
 
@@ -155,16 +168,18 @@ def main():
         stats_engine = engine.stats()
 
         if not args.skip_http:
+            cd = "u1" if wire_dtype == np.uint8 else "<f4"
             with Server(engine, serving.meta, port=0) as srv:
                 wall, lat, errs = drive(
                     lambda im: client_detect("127.0.0.1", srv.port, im,
-                                             timeout=600),
+                                             timeout=600, dtype=cd),
                     images, args.clients, args.requests)
                 results["http"] = _leg_stats(lat, wall, errs)
 
     out = {
         "size": size,
         "fused_nms": serving.meta.get("fused_nms") is not None,
+        "wire_dtype": wire_dtype.name,
         "clients": args.clients,
         "requests": args.requests,
         "max_batch": args.max_batch,

@@ -99,6 +99,15 @@ def parse_args(argv=None):
                         "eval); the VOC eval path uses 0.45")
     p.add_argument("--confidence_threshold", type=float, default=None,
                    help="default: DetectConfig.conf_thresh")
+    p.add_argument("--uint8_wire", action="store_true",
+                   help="serving: artifact accepts raw uint8 RGB pixels "
+                        "and mean-subtracts on device — 4x less "
+                        "host->device upload (exact for integer pixels)")
+    p.add_argument("--input_mean", default=None,
+                   help="with --uint8_wire: comma-separated per-channel "
+                        "mean in the reference's BGR config convention "
+                        "(default 104,117,123; SAR/SSDD uses "
+                        "98.13131,98.13131,98.13131)")
     return p.parse_args(argv)
 
 
@@ -149,11 +158,16 @@ def main(argv=None):
             ("nms_thresh", args.nms_threshold),
             ("conf_thresh", args.confidence_threshold),
             ("nms_top_k", args.nms_top_k)) if v is not None}
+    mean = None
+    if args.input_mean is not None:
+        if not args.uint8_wire:
+            raise SystemExit("--input_mean requires --uint8_wire")
+        mean = tuple(float(s) for s in args.input_mean.split(","))
     meta = save_serving(
         model, variables, args.out,
         batch_size=args.batch_size or None,
         platforms=tuple(s.strip() for s in args.platforms.split(",") if s),
-        fused_nms=fused)
+        fused_nms=fused, uint8_input=args.uint8_wire, input_mean=mean)
     size = os.path.getsize(args.out)
     print(f"wrote serving artifact: {args.out} ({size / 1e6:.1f} MB)")
     for k in ("input_size", "num_classes", "batch_size", "platforms"):
