@@ -56,6 +56,10 @@ def parse_args():
                    help="with the default export: uint8-input artifact "
                         "(raw pixels on the wire, in-artifact mean-sub) — "
                         "4x less host->device upload than the f32 wire")
+    p.add_argument("--int8", action="store_true",
+                   help="with the default export: PTQ-quantize the random "
+                        "weights (throughput is value-independent) and "
+                        "bench the int8 serving twin")
     p.add_argument("--skip_http", action="store_true")
     return p.parse_args()
 
@@ -122,6 +126,12 @@ def main():
 
         model = build_refinedet("test", args.size, args.num_classes)
         variables = model.init(jax.random.PRNGKey(0))
+        if args.int8:
+            from refinedet_tpu.quant import quantize_model
+
+            calib = [np.random.RandomState(1).uniform(
+                -120, 130, (4, args.size, args.size, 3)).astype(np.float32)]
+            model, variables = quantize_model(model, variables, calib)
         artifact = os.path.join(tempfile.mkdtemp(prefix="bench_serve_"),
                                 f"refinedet{args.size}.rdtpu")
         kw = {"uint8_input": True} if args.uint8_wire else {}
@@ -165,6 +175,8 @@ def main():
             wall, lat, errs = drive(lambda im: engine.submit(im).result(),
                                     images, args.clients, args.requests)
             results[tag] = _leg_stats(lat, wall, errs)
+            print(f"  leg {tag}: {results[tag]}", file=sys.stderr,
+                  flush=True)
         stats_engine = engine.stats()
 
         if not args.skip_http:
@@ -175,10 +187,13 @@ def main():
                                              timeout=600, dtype=cd),
                     images, args.clients, args.requests)
                 results["http"] = _leg_stats(lat, wall, errs)
+                print(f"  leg http: {results['http']}", file=sys.stderr,
+                      flush=True)
 
     out = {
         "size": size,
         "fused_nms": serving.meta.get("fused_nms") is not None,
+        "int8": bool(serving.meta.get("int8", False)),
         "wire_dtype": wire_dtype.name,
         "clients": args.clients,
         "requests": args.requests,

@@ -48,6 +48,11 @@ def main():
     p.add_argument("--int8_max_drop", default=0.10, type=float,
                    help="max tolerated (bf16 - int8) mean-AP delta")
     p.add_argument("--root", default=None, help="reuse a fixture/workdir")
+    p.add_argument("--seed", default=0, type=int,
+                   help="training seed (init + augmentation stream), "
+                        "forwarded to train_refinedet.py; the fixture "
+                        "stays fixed so N seeds measure the train/serve "
+                        "variance on identical data")
     p.add_argument("--ema_decay", default=0.0, type=float,
                    help=">0: train with an EMA of the weights and add an "
                         "eval pass serving them (--use_ema)")
@@ -81,7 +86,7 @@ def main():
                 "--batch_size", str(args.batch_size),
                 "--lr", str(args.lr), "--grad_clip", "5.0",
                 "--max_epoch", str(args.max_epoch),
-                "--ema_decay", str(args.ema_decay),
+                "--ema_decay", str(args.ema_decay), "--seed", str(args.seed),
                 "--num_workers", "2", "--save_folder", save]
     train_refinedet.main()
     t_train = time.time() - t0
