@@ -143,7 +143,8 @@ def _clip_point(stat: Union[np.ndarray, float],
 def quantize_variables(model_q, variables, amax: Dict,
                        act_stat: str = "p9999",
                        means: Optional[Dict] = None,
-                       hessians: Optional[Dict] = None):
+                       hessians: Optional[Dict] = None,
+                       gptq_cache: Optional[Dict] = None):
     """Fill the quantized model's variable tree from trained f32 variables.
 
     ``model_q`` is the ``quant=True`` twin (same size/num_classes/use_bn);
@@ -160,6 +161,15 @@ def quantize_variables(model_q, variables, amax: Dict,
     weight rounding of the covered convs from round-to-nearest to the
     second-order GPTQ solver (``quant.gptq.gptq_round``) — same scales,
     better grid points.
+
+    ``gptq_cache`` (a caller-owned dict) memoizes the GPTQ result per
+    conv across calls: the solve's host-side K x K inverse + Cholesky is
+    minutes for the big layers (conv6: K = 9216), and serving-arm sweeps
+    (tools/ablate_int8.py) quantize the SAME trained weights under the
+    same shared calibration several times (skip-set and bias-correction
+    twins have identical kernels). Entries are reused only when the
+    folded scales match bit-exactly, so a cache shared across different
+    weights/calibrations degrades to a recompute, never a wrong kernel.
     """
     template = jax.eval_shape(
         lambda: model_q.init(jax.random.PRNGKey(0)))
@@ -212,7 +222,16 @@ def quantize_variables(model_q, variables, amax: Dict,
         w_scale = np.maximum(w_scale, 1e-12).astype(np.float32)
         if hessians is not None and name in hessians:
             from refinedet_tpu.quant.gptq import gptq_round
-            kernel_q = gptq_round(w, in_scale, w_scale, hessians[name])
+            cached = None if gptq_cache is None else gptq_cache.get(name)
+            if cached is not None and \
+                    np.array_equal(cached[0], in_scale) and \
+                    np.array_equal(cached[1], w_scale):
+                kernel_q = cached[2]
+            else:
+                kernel_q = gptq_round(w, in_scale, w_scale, hessians[name])
+                if gptq_cache is not None:
+                    gptq_cache[name] = (in_scale.copy(), w_scale.copy(),
+                                        kernel_q)
         else:
             kernel_q = np.clip(np.round(w_folded / w_scale),
                                -127, 127).astype(np.int8)

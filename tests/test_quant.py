@@ -446,6 +446,55 @@ def test_quantize_model_gptq_end_to_end(rng):
         quantize_model(model, variables, [images], weight_opt="adaround")
 
 
+def test_gptq_cache_reuses_and_validates(rng, monkeypatch):
+    """A caller-owned gptq_cache makes repeat quantizations of the same
+    weights skip the host-side Cholesky solve entirely (the ablation
+    harness's serving-arm sweep), and a scale mismatch falls back to a
+    recompute instead of returning a stale kernel."""
+    import refinedet_tpu.quant.gptq as gptq_mod
+    from refinedet_tpu.quant.gptq import accumulate_hessians
+
+    model = build_refinedet("test", 320, 3)
+    variables = model.init(jax.random.PRNGKey(0))
+    images = rng.uniform(-120, 130, (1, 320, 320, 3)).astype(np.float32)
+    amax = calibrate_amax(model, variables, [images])
+    names = ("vgg_conv7", "extra_conv1")
+    hessians = accumulate_hessians(model, variables, [images], names=names)
+    mq = build_refinedet("test", 320, 3, quant=True, quant_skip=(),
+                         dtype=jnp.float32)
+
+    cache = {}
+    v1 = quantize_variables(mq, variables, amax, hessians=hessians,
+                            gptq_cache=cache)
+    assert set(cache) == set(names)
+
+    # A second pass over the same weights must be pure cache hits: poison
+    # the solver so any call fails the test.
+    def _boom(*a, **k):
+        raise AssertionError("gptq_round called on a cache hit")
+
+    monkeypatch.setattr(gptq_mod, "gptq_round", _boom)
+    v2 = quantize_variables(mq, variables, amax, hessians=hessians,
+                            gptq_cache=cache)
+    for n in names:
+        np.testing.assert_array_equal(
+            np.asarray(v1["params"][n]["kernel_q"]),
+            np.asarray(v2["params"][n]["kernel_q"]))
+    monkeypatch.undo()
+
+    # Scale mismatch (different weights/calibration behind the same conv
+    # name) must recompute, not reuse.
+    stale_in, stale_w, stale_q = cache["vgg_conv7"]
+    cache["vgg_conv7"] = (stale_in * 2.0, stale_w, stale_q)
+    v3 = quantize_variables(mq, variables, amax, hessians=hessians,
+                            gptq_cache=cache)
+    np.testing.assert_array_equal(
+        np.asarray(v1["params"]["vgg_conv7"]["kernel_q"]),
+        np.asarray(v3["params"]["vgg_conv7"]["kernel_q"]))
+    # and the refreshed entry carries the true scales again
+    np.testing.assert_array_equal(cache["vgg_conv7"][0], stale_in)
+
+
 def test_ablation_arm_skip_resolution():
     """Regression: the ablation harness's "default" arms must resolve to
     DEFAULT_QUANT_SKIP, not the builder's () default — the bug made

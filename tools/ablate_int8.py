@@ -192,13 +192,19 @@ def run_seed(seed, size, steps, batch, configs, have=()):
         if any(gptq for _, _, _, gptq in int8_arms):
             from refinedet_tpu.quant.gptq import accumulate_hessians
             hessians = accumulate_hessians(test_model, variables, calib)
+        # One GPTQ solve per conv per seed: the arms share weights +
+        # calibration, so the skip-set/bias-correction twins reuse the
+        # cached rounded kernels (the host-side Cholesky dominates the
+        # arm sweep's wall time otherwise).
+        gptq_cache = {}
         for tag, skip, bc, gptq in int8_arms:
             mq = build_refinedet(
                 "test", size, 2, dtype=jnp.bfloat16, quant=True,
                 quant_skip=resolve_quant_skip(skip))
             vq = quantize_variables(mq, variables, amax,
                                     means=means if bc else None,
-                                    hessians=hessians if gptq else None)
+                                    hessians=hessians if gptq else None,
+                                    gptq_cache=gptq_cache)
             out[tag] = ap_of(mq, vq)
     print(f"seed {seed}: " + "  ".join(
         f"{k}={v['ap']:.4f}/{v['ap50']:.4f}" for k, v in out.items()),
